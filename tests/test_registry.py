@@ -1,0 +1,132 @@
+"""Registry / dispatch-cache tests.
+
+Reference analogs: tests/threadsafety.c (concurrent dispatch of the same
+descriptor must yield one kernel), registry statistics (libxsmm_main.c:278),
+release_kernel (libxsmm_main.c:2585).
+"""
+
+import threading
+
+import pytest
+
+from xsmm_tpu.core.descriptors import GemmDescriptor, MatcopyDescriptor
+from xsmm_tpu.core.registry import Registry, RegistryEntry, Stats
+
+
+def _desc(m=4, n=4, k=4, **kw):
+    return GemmDescriptor(m=m, n=n, k=k, **kw)
+
+
+def test_dispatch_builds_once():
+    reg = Registry(capacity=64)
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return lambda: "kernel"
+
+    d = _desc()
+    k1 = reg.dispatch(d, builder)
+    k2 = reg.dispatch(d, builder)
+    assert k1 is k2
+    assert len(calls) == 1
+    assert reg.info()["njit"] == 1
+    assert reg.info()["ntry"] == 2
+
+
+def test_distinct_descriptors_distinct_kernels():
+    reg = Registry(capacity=64)
+    k1 = reg.dispatch(_desc(m=4), lambda: ("k", 4))
+    k2 = reg.dispatch(_desc(m=8), lambda: ("k", 8))
+    assert k1 != k2
+    assert reg.info()["size"] == 2
+
+
+def test_descriptor_kinds_do_not_collide():
+    # A gemm and a matcopy descriptor with similar fields must have
+    # different packed keys (kind tag byte).
+    g = GemmDescriptor(m=4, n=4, k=4).pack()
+    mc = MatcopyDescriptor(m=4, n=4).pack()
+    assert g != mc
+
+
+def test_pack_stability_and_uniqueness():
+    seen = set()
+    for m in (1, 13, 23, 64):
+        for n in (1, 23):
+            for dt in ("float32", "bfloat16", "float64"):
+                for beta in (0.0, 1.0):
+                    from xsmm_tpu.core.descriptors import gemm_flags
+                    d = GemmDescriptor(m=m, n=n, k=7, in_dtype=dt,
+                                       flags=gemm_flags(beta=beta))
+                    key = d.pack()
+                    assert key == d.pack()
+                    assert key not in seen
+                    seen.add(key)
+
+
+def test_threadsafety():
+    """Concurrent dispatch: exactly one build per descriptor.
+
+    Reference: tests/threadsafety.c:76-147 exercises concurrent
+    libxsmm_xmmdispatch from OpenMP threads.
+    """
+    reg = Registry(capacity=1024)
+    build_count = {"n": 0}
+    lock = threading.Lock()
+
+    def builder(tag):
+        def b():
+            with lock:
+                build_count["n"] += 1
+            return ("kernel", tag)
+        return b
+
+    results = []
+
+    def worker(tid):
+        local = []
+        for i in range(50):
+            d = _desc(m=i % 10 + 1)
+            local.append(reg.dispatch(d, builder(i % 10)))
+        results.append(local)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert build_count["n"] == 10  # one build per distinct descriptor
+    assert reg.info()["size"] == 10
+
+
+def test_capacity_exhaustion():
+    reg = Registry(capacity=4)
+    for m in range(1, 5):
+        reg.dispatch(_desc(m=m), lambda: "k")
+    with pytest.raises(RuntimeError):
+        reg.dispatch(_desc(m=99), lambda: "k")
+
+
+def test_release():
+    reg = Registry(capacity=16)
+    d = _desc()
+    reg.dispatch(d, lambda: "k")
+    assert reg.release(d)
+    assert not reg.release(d)
+    assert reg.info()["size"] == 0
+
+
+def test_stats_buckets():
+    assert Stats.bucket(13, 13, 13) == "sml"
+    assert Stats.bucket(23, 23, 23) == "med"
+    assert Stats.bucket(64, 64, 64) == "big"
+    assert Stats.bucket(65, 64, 64) == "xxx"
+
+
+def test_mru_cache_hit():
+    reg = Registry(capacity=64)
+    d = _desc()
+    reg.dispatch(d, lambda: "k")
+    reg.dispatch(d, lambda: "k")
+    assert reg.info()["nhit"] >= 1

@@ -1,0 +1,61 @@
+"""xsmm_tpu — a TPU-native small/sparse matrix kernel framework.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of LIBXSMM
+(reference: /root/reference, v1.12 line): shape-specialized kernel dispatch
+with a persistent registry, batched/batch-reduce small GEMM, sparse x dense
+kernels with trace-time structure unrolling, packed batched factorizations,
+copy/transpose kernels, DNN layer primitives, and multi-host scaling over
+ICI/DCN collectives.
+
+Architecture map (see SURVEY.md section 7): the x86 JIT backend's role —
+emitting a perfect inner kernel per shape descriptor — is played by tracing
+parameterized Pallas kernels compiled by Mosaic/XLA, cached forever in a
+descriptor-keyed registry (the internal_find_code analog).
+"""
+
+from .core.config import Config, get_config, set_config, set_verbosity
+from .core.descriptors import (
+    GemmDescriptor, GemmFlags, MatcopyDescriptor, PackedDescriptor, Prefetch,
+    SparseDescriptor, TransDescriptor, gemm_flags,
+)
+from .core.registry import finalize, get_registry
+from .core import platform
+from .ops.smm import (
+    BatchedSMM, BatchReduceGemm, XlaGemm,
+    bmmdispatch, bmmdispatch_reducebatch, bsmmdispatch,
+    bsmmdispatch_reducebatch, dmmdispatch, dmmdispatch_reducebatch,
+    join_f64, mmdispatch, smmdispatch, smmdispatch_reducebatch, split_f64,
+    wimmdispatch, wsmmdispatch,
+)
+from .utils.matdiff import MatdiffInfo, check, matdiff
+from .utils import timer
+
+__version__ = "0.1.0"
+
+
+def init():
+    """Analog of libxsmm_init (libxsmm_main.c:708): eager bring-up.
+
+    Reads env config, creates the registry, and AOT-compiles any shapes
+    listed in XSMM_AOT_SHAPES ("MxNxK[:dtype][:batch],...") — the analog of
+    build-time MNK= static specialization (Makefile:674-700).
+    """
+    cfg = get_config()
+    reg = get_registry()
+    if cfg.aot_shapes:
+        for spec in cfg.aot_shapes.split(","):
+            spec = spec.strip()
+            if not spec:
+                continue
+            parts = spec.split(":")
+            m, n, k = (int(x) for x in parts[0].lower().split("x"))
+            dtype = parts[1] if len(parts) > 1 else "float32"
+            batch = int(parts[2]) if len(parts) > 2 else 1
+            mmdispatch(m, n, k, in_dtype=dtype, batch=batch, beta=0.0)
+            reg.stats.nsta += 1
+    return reg
+
+
+def get_registry_info():
+    """Analog of libxsmm_get_registry_info (libxsmm_main.c:2092)."""
+    return get_registry().info()

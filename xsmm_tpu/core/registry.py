@@ -1,0 +1,286 @@
+"""Code registry and dispatch cache — the heart of the framework.
+
+Reference: internal_find_code (src/libxsmm_main.c:1697-1925): a 131072-slot
+open-addressing hash table of JIT'd kernels keyed by packed descriptors, with
+a 4-entry per-thread MRU cache in front and double-checked locking around the
+build.  Statistics (TRY/JIT/STA/COL, bucketed sml/med/big/xxx) are printed at
+exit under LIBXSMM_VERBOSE (internal_print_statistic, libxsmm_main.c:278-348).
+
+TPU-native design: the "machine code" is a compiled JAX callable (Pallas
+kernel traced+compiled by Mosaic/XLA — XLA is the assembler).  The registry
+maps packed descriptor bytes -> entry.  When the native C++ backend is built
+(native/registry.cpp, loaded via ctypes) the hash probe runs in C++ over the
+same CRC32C + open-addressing scheme as the reference; otherwise a Python dict
+provides identical semantics.  Either way the compiled callable lives in a
+Python-side table indexed by slot.
+"""
+
+from __future__ import annotations
+
+import atexit
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .config import get_config
+
+# ---------------------------------------------------------------------------
+# Optional native backend (C++ CRC32C open-addressing table; see
+# native/registry.cpp).  Falls back to pure Python transparently.
+# ---------------------------------------------------------------------------
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native
+    if not get_config().use_native:
+        _native = False
+        return _native
+    try:
+        from . import native_bridge
+        _native = native_bridge.load()
+    except Exception:
+        _native = False
+    return _native
+
+
+class Stats:
+    """Dispatch statistics (reference: libxsmm_main.c:278-348).
+
+    Buckets: sml (<=13^3), med (<=23^3), big (<=64^3), xxx (beyond) —
+    thresholds from libxsmm_main.c:635-637.
+    """
+
+    BUCKETS = ("sml", "med", "big", "xxx")
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.ntry = 0     # dispatch attempts
+        self.njit = 0     # kernels built at runtime
+        self.nsta = 0     # kernels registered statically (AOT list)
+        self.ncol = 0     # key collisions / cache evictions
+        self.ncache_hit = 0
+        self.by_bucket: Dict[str, Dict[str, int]] = {}
+
+    @staticmethod
+    def bucket(m: int, n: int, k: int) -> str:
+        v = max(1, m) * max(1, n) * max(1, k)
+        if v <= 13 ** 3:
+            return "sml"
+        if v <= 23 ** 3:
+            return "med"
+        if v <= 64 ** 3:
+            return "big"
+        return "xxx"
+
+    def record(self, kind: str, dtype: str, bucket: str, jit: bool, static: bool):
+        with self.lock:
+            self.ntry += 1
+            if jit:
+                self.njit += 1
+            if static:
+                self.nsta += 1
+            key = f"{dtype}"
+            row = self.by_bucket.setdefault(key, {b: 0 for b in self.BUCKETS})
+            row[bucket] += 1
+
+    def summary(self) -> str:
+        lines = ["xsmm_tpu dispatch statistics:",
+                 f"  TRY={self.ntry} JIT={self.njit} STA={self.nsta} "
+                 f"COL={self.ncol} HIT={self.ncache_hit}"]
+        if self.by_bucket:
+            lines.append("  dtype      sml    med    big    xxx")
+            for dt, row in sorted(self.by_bucket.items()):
+                lines.append("  {:<9}{:>6} {:>6} {:>6} {:>6}".format(
+                    dt, row["sml"], row["med"], row["big"], row["xxx"]))
+        return "\n".join(lines)
+
+
+class RegistryEntry:
+    __slots__ = ("kernel", "descriptor", "nbytes_est", "name")
+
+    def __init__(self, kernel: Callable, descriptor: Any, name: str):
+        self.kernel = kernel
+        self.descriptor = descriptor
+        self.name = name
+        self.nbytes_est = 0
+
+
+class Registry:
+    """Descriptor -> compiled-kernel registry with MRU front cache."""
+
+    def __init__(self, capacity: Optional[int] = None):
+        cfg = get_config()
+        self.capacity = capacity or cfg.registry_capacity
+        self._table: Dict[bytes, RegistryEntry] = {}
+        self._entries: List[RegistryEntry] = []     # slot-indexed, for native
+        self._build_lock = threading.Lock()
+        self._tls = threading.local()
+        self.stats = Stats()
+        self._native = None
+        self._finalized = False
+
+    # -- MRU per-thread cache (reference: TLS cache, libxsmm_main.c:1704-1732)
+    def _cache(self) -> List[Tuple[bytes, RegistryEntry]]:
+        c = getattr(self._tls, "cache", None)
+        if c is None:
+            c = []
+            self._tls.cache = c
+        return c
+
+    def _cache_probe(self, key: bytes) -> Optional[RegistryEntry]:
+        cache = self._cache()
+        for i, (k, e) in enumerate(cache):
+            if k == key:
+                if i:
+                    cache.insert(0, cache.pop(i))
+                return e
+        return None
+
+    def _cache_insert(self, key: bytes, entry: RegistryEntry):
+        cache = self._cache()
+        cache.insert(0, (key, entry))
+        maxsize = get_config().cache_maxsize
+        if len(cache) > maxsize:
+            cache.pop()
+            self.stats.ncol += 1
+
+    def lookup(self, key: bytes) -> Optional[RegistryEntry]:
+        e = self._cache_probe(key)
+        if e is not None:
+            self.stats.ncache_hit += 1
+            return e
+        nat = self._native if self._native is not None else _load_native()
+        self._native = nat
+        if nat:
+            slot = nat.find(key)
+            if slot >= 0:
+                e = self._entries[slot]
+                self._cache_insert(key, e)
+                return e
+            return None
+        e = self._table.get(key)
+        if e is not None:
+            self._cache_insert(key, e)
+        return e
+
+    def insert(self, key: bytes, entry: RegistryEntry) -> RegistryEntry:
+        """Insert under the build lock; first writer wins (double-checked)."""
+        with self._build_lock:
+            nat = self._native if self._native is not None else _load_native()
+            if nat:
+                slot = nat.find(key)
+                if slot >= 0:
+                    return self._entries[slot]
+                if len(self._entries) >= self.capacity:
+                    raise RuntimeError("xsmm_tpu registry capacity exhausted")
+                slot = nat.insert(key, len(self._entries))
+                if slot != len(self._entries):   # raced: someone else inserted
+                    return self._entries[slot]
+                self._entries.append(entry)
+            else:
+                existing = self._table.get(key)
+                if existing is not None:
+                    return existing
+                if len(self._table) >= self.capacity:
+                    raise RuntimeError("xsmm_tpu registry capacity exhausted")
+                self._table[key] = entry
+                self._entries.append(entry)
+            self._cache_insert(key, entry)
+            return entry
+
+    def dispatch(self, descriptor, builder: Callable[[], Callable],
+                 name: str = "", static: bool = False) -> Callable:
+        """The internal_find_code analog: probe, else build under lock.
+
+        ``builder`` is invoked at most once per descriptor per process; its
+        result (a compiled callable) is cached forever, so the hot path is a
+        dict/MRU probe — no retracing, no jit cache misses mid-loop.
+        """
+        key = descriptor.pack()
+        entry = self.lookup(key)
+        jit = False
+        if entry is None:
+            with self._build_lock:
+                entry = self._table.get(key) if not self._native else None
+                if self._native:
+                    slot = self._native.find(key)
+                    entry = self._entries[slot] if slot >= 0 else None
+                if entry is None:
+                    jit = True
+            if jit:
+                kernel = builder()
+                entry = self.insert(key, RegistryEntry(kernel, descriptor, name))
+        m = getattr(descriptor, "m", 1)
+        n = getattr(descriptor, "n", 1)
+        k = getattr(descriptor, "k", 1)
+        dt = getattr(descriptor, "in_dtype", getattr(descriptor, "dtype", "?"))
+        self.stats.record(type(descriptor).__name__, dt,
+                          Stats.bucket(m, n, k), jit=jit, static=static)
+        return entry.kernel
+
+    def release(self, descriptor) -> bool:
+        """Analog of libxsmm_release_kernel (libxsmm_main.c:2585)."""
+        key = descriptor.pack()
+        with self._build_lock:
+            e = self._table.pop(key, None)
+            if e is not None and e in self._entries:
+                self._entries.remove(e)
+            # native table entries are tombstone-free by design; clear MRU
+            self._tls = threading.local()
+            return e is not None
+
+    def info(self) -> Dict[str, int]:
+        """Analog of libxsmm_get_registry_info (libxsmm_main.c:2092)."""
+        return {
+            "capacity": self.capacity,
+            "size": len(self._entries),
+            "ntry": self.stats.ntry,
+            "njit": self.stats.njit,
+            "nsta": self.stats.nsta,
+            "ncol": self.stats.ncol,
+            "nhit": self.stats.ncache_hit,
+        }
+
+    def clear(self):
+        with self._build_lock:
+            self._table.clear()
+            self._entries.clear()
+            if self._native:
+                self._native.clear()
+            self._tls = threading.local()
+
+
+_REGISTRY: Optional[Registry] = None
+_REGISTRY_LOCK = threading.Lock()
+
+
+def get_registry() -> Registry:
+    global _REGISTRY
+    if _REGISTRY is None:
+        with _REGISTRY_LOCK:
+            if _REGISTRY is None:
+                _REGISTRY = Registry()
+    return _REGISTRY
+
+
+def initialized() -> bool:
+    return _REGISTRY is not None
+
+
+def finalize(verbose: Optional[bool] = None):
+    """Analog of libxsmm_finalize (libxsmm_main.c:822): print stats, drop cache."""
+    global _REGISTRY
+    if _REGISTRY is None:
+        return
+    v = get_config().verbose if verbose is None else verbose
+    if v and _REGISTRY.stats.ntry:
+        print(_REGISTRY.stats.summary())
+    _REGISTRY = None
+
+
+@atexit.register
+def _atexit_stats():
+    if _REGISTRY is not None and get_config().verbose >= 2 and _REGISTRY.stats.ntry:
+        print(_REGISTRY.stats.summary())

@@ -1,0 +1,112 @@
+"""High-resolution timing + benchmark helpers.
+
+Reference: src/libxsmm_timer.c (TSC ticks).  On TPU the honest clock is
+host wall time around ``block_until_ready`` — device execution is async, so
+every measurement must synchronize.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+
+
+def tick() -> float:
+    """Analog of libxsmm_timer_tick (libxsmm_timer.c:84)."""
+    return time.perf_counter()
+
+
+def duration(t0: float, t1: float) -> float:
+    return t1 - t0
+
+
+def _sync(x):
+    return jax.block_until_ready(x)
+
+
+def bench(fn: Callable, *args, warmup: int = 3, iters: int = 20,
+          min_time: float = 0.05) -> Tuple[float, int]:
+    """Time ``fn(*args)`` -> (seconds_per_call, iters_used).
+
+    Synchronizes on the result; auto-scales iterations to ``min_time`` so
+    short kernels are measured above timer noise.
+    """
+    for _ in range(max(1, warmup)):
+        _sync(fn(*args))
+    # calibrate
+    t0 = tick()
+    _sync(fn(*args))
+    t_one = max(tick() - t0, 1e-9)
+    n = max(iters, int(min_time / t_one) + 1)
+    t0 = tick()
+    out = None
+    for _ in range(n):
+        out = fn(*args)
+    _sync(out)
+    dt = (tick() - t0) / n
+    return dt, n
+
+
+def gflops(flops: float, seconds: float) -> float:
+    return flops / seconds / 1e9
+
+
+def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
+                 feedback: Optional[Callable] = None, repeats: int = 3) -> float:
+    """Measure per-call device time of ``fn(*args)``, immune to host latency.
+
+    Runs N chained iterations of ``fn`` inside ONE jitted computation with a
+    data dependency between iterations (so XLA cannot CSE or reorder them),
+    fetches a single scalar, and differences two N values to cancel the
+    host round-trip and fixed dispatch overhead.  This matters: on tunneled
+    TPU setups a host round-trip is ~25ms while a small kernel is ~10us, so
+    naive wall-clock timing is pure noise.
+
+    ``feedback(out, args) -> new_args`` threads the output into the next
+    iteration's inputs; the default perturbs one element of the first
+    argument in place (a.at[0,...].add(0*probe)), adding no measurable work.
+    """
+    import jax.numpy as jnp
+    from jax.tree_util import tree_leaves
+
+    args = tuple(jnp.asarray(a) if not isinstance(a, jax.Array) else a
+                 for a in args)
+
+    def default_feedback(out, a):
+        probe = tree_leaves(out)[0].ravel()[0]
+        eps = probe * 0
+        a = list(a)
+        x = a[0]
+        if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
+                x.dtype, jnp.integer):
+            a[0] = x.at[(0,) * x.ndim].add(eps.astype(x.dtype))
+        return tuple(a)
+
+    fb = feedback or default_feedback
+
+    def make(n):
+        @jax.jit
+        def run(*a0):
+            def body(_, a):
+                return fb(fn(*a), a)
+            an = jax.lax.fori_loop(0, n, body, a0)
+            leaf = tree_leaves(an)[0]
+            return leaf.ravel()[0].astype(jnp.float32)
+        return run
+
+    f_base, f_full = make(base_iters), make(iters)
+    float(f_base(*args))  # compile + warm
+    float(f_full(*args))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = tick()
+            float(f(*args))
+            best = min(best, tick() - t0)
+        return best
+
+    dt = t(f_full) - t(f_base)
+    return max(dt, 1e-9) / (iters - base_iters)
