@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched FP64 SMM 23x23x23 (BASELINE.json config #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Methodology: the kernel is HBM-bandwidth-bound (arithmetic intensity
+2*M*N*K / 8*(MK+KN+MN) ~ 1.9 flop/byte for f64), so the per-chip roofline is
+AI * HBM bandwidth.  The target from BASELINE.md is >=80% of roofline;
+vs_baseline reports achieved/(0.80*roofline).  Timing uses
+device_bench (N chained iterations inside one jit, two-point fit) because
+host round-trips on tunneled TPU setups are ~25ms.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+import xsmm_tpu as xt
+from xsmm_tpu.utils.timer import device_bench
+
+# Per-chip HBM bandwidth (bytes/s) by device kind.
+HBM_BW = {
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # v6e (Trillium)
+    "cpu": 100e9,           # nominal, CI only
+}
+
+
+def main():
+    m = n = k = 23
+    on_tpu = xt.platform.is_tpu()
+    batch = int(os.environ.get("XSMM_BENCH_B", 131072 if on_tpu else 512))
+
+    kern = xt.dmmdispatch(m, n, k, batch=batch, beta=0.0)
+    key = jax.random.PRNGKey(0)
+    # device-resident operands in the packed layout (hi/lo f32 pairs)
+    ah = jax.random.normal(key, (k, m, batch), jnp.float32)
+    al = ah * 1e-8
+    bh = jax.random.normal(jax.random.PRNGKey(1), (k, n, batch), jnp.float32)
+    bl = bh * 1e-8
+
+    if on_tpu:
+        dt = device_bench(kern._packed_fn, ah, al, bh, bl,
+                          iters=40, base_iters=8)
+    else:
+        dt, _ = xt.timer.bench(kern._packed_fn, ah, al, bh, bl,
+                               warmup=1, iters=3)
+
+    flops = 2 * m * n * k * batch
+    nbytes = (m * k + k * n + m * n) * batch * 8  # f64-equivalent I/O
+    gflops = flops / dt / 1e9
+    gbps = nbytes / dt / 1e9
+
+    kind = xt.platform.target_name()
+    bw = next((v for key_, v in HBM_BW.items() if key_ in kind), 819e9)
+    ai = flops / nbytes
+    roofline = ai * bw / 1e9  # GFLOP/s at the bandwidth bound
+    target = 0.80 * roofline
+
+    out = {
+        "metric": "batched_f64_smm_23x23x23_gflops_per_chip",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / target, 3),
+        "detail": {
+            "batch": batch,
+            "seconds_per_call": dt,
+            "achieved_gbps": round(gbps, 1),
+            "roofline_gflops": round(roofline, 1),
+            "roofline_frac": round(gflops / roofline, 3),
+            "device": kind,
+            "f64_strategy": xt.get_config().f64_strategy,
+            "normf_rel_vs_f64_gold": "9.3e-08 (see tests/test_smm.py)",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,11 +12,19 @@ Run on real TPU instead with: XSMM_TEST_TPU=1 python -m pytest tests/
 import os
 
 if not os.environ.get("XSMM_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Must run before the first jax backend initialization.  Note: on axon
+    # TPU terminals a sitecustomize registers the axon PJRT plugin at
+    # interpreter start and forces the platform, so setting the env var is
+    # not enough — jax.config.update below is the authoritative override.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) >= 8, "virtual CPU device mesh missing"
 
 import numpy as np
 import pytest
