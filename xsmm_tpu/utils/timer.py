@@ -75,13 +75,17 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
                  for a in args)
 
     def default_feedback(out, a):
+        # Write a value derived from the output into one input element.
+        # This must be a genuine data dependency: `probe * 0` folds to zero
+        # in XLA's algebraic simplifier, the update becomes identity, and
+        # the op under test gets hoisted out of the loop (measured: "818
+        # TFLOP/s" matmuls).  A .set() of the live value cannot fold.
         probe = tree_leaves(out)[0].ravel()[0]
-        eps = probe * 0
         a = list(a)
         x = a[0]
         if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
                 x.dtype, jnp.integer):
-            a[0] = x.at[(0,) * x.ndim].add(eps.astype(x.dtype))
+            a[0] = x.at[(0,) * x.ndim].set(probe.astype(x.dtype))
         return tuple(a)
 
     fb = feedback or default_feedback
@@ -96,10 +100,6 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
             return leaf.ravel()[0].astype(jnp.float32)
         return run
 
-    f_base, f_full = make(base_iters), make(iters)
-    float(f_base(*args))  # compile + warm
-    float(f_full(*args))
-
     def t(f):
         best = float("inf")
         for _ in range(repeats):
@@ -108,5 +108,26 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
             best = min(best, tick() - t0)
         return best
 
-    dt = t(f_full) - t(f_base)
-    return max(dt, 1e-9) / (iters - base_iters)
+    f_base = make(base_iters)
+    float(f_base(*args))  # compile + warm
+    t_base = t(f_base)
+
+    # Auto-scale the long run until the marginal time is far above host
+    # round-trip noise (~25ms on tunneled setups): target >= 50ms of extra
+    # device work.  fori_loop trip count is runtime-only, so each rebuild
+    # costs one compile, not a longer program.
+    target = 0.05
+    max_iters = 1 << 16
+    while True:
+        f_full = make(iters)
+        float(f_full(*args))
+        diff = t(f_full) - t_base
+        if diff >= target or iters >= max_iters:
+            break
+        if diff <= 1e-4:
+            iters = min(max_iters, iters * 16)
+        else:
+            need = int((iters - base_iters) * target / diff) + base_iters
+            iters = min(max_iters, max(need, iters * 2))
+
+    return max(diff, 1e-9) / (iters - base_iters)
