@@ -1,0 +1,294 @@
+"""Fixed-structure sparse x dense kernels (the spgemm domain).
+
+Reference: src/generator_spgemm*.c JITs kernels with the nonzero structure
+unrolled into the instruction stream — CSR A-sparse SOA
+(generator_spgemm_csr_asparse_soa.c: per-row broadcast of A values times
+dense-B SOA columns), register-resident A values
+(generator_spgemm_csr_asparse_reg.c), and B-sparse variants.  Runtime
+entries: libxsmm_create_xcsr_soa / libxsmm_create_dcsr_reg
+(libxsmm_main.c:2423-2583).
+
+TPU-native design — two strategies chosen at create time (exactly the
+fsspmdm pattern, libxsmm_fsspmdm.c:119-140):
+
+* **"unroll"** — the trace-time analog of instruction-stream unrolling: the
+  CSR structure and values are Python-level constants when the Pallas kernel
+  is traced, so each output row becomes a literal chain of scalar*row FMAs
+  on the VPU.  The N (column) dimension is the vector dimension, reshaped
+  [K, N] -> [K, 8, N/8] so each B row occupies full (8,128) vector registers
+  ("SOA": one problem column set per lane).  Compile time grows with nnz, so
+  this path is gated at XSMM_SPARSE_UNROLL_MAX nonzeros.
+
+* **"dense"** — densify A and run the MXU.  For operator matrices (small
+  M,K; wide dense B) the traffic is B + C reads/writes either way, so the
+  dense MXU product IS the bandwidth-roofline implementation on TPU; the
+  zeros cost only free MXU flops.  This mirrors the reference's dense
+  fallback (libxsmm_fsspmdm.c:132-140) but on TPU it is usually the *faster*
+  path, not the fallback.
+
+FP64 values use the two-float split; sparse values are compile-time
+constants so their hi/lo parts cost nothing extra to stage.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import get_config
+from ..core.descriptors import SparseDescriptor
+from ..core.registry import get_registry
+from ..utils.mtx import Csc, Csr
+from .pallas_util import cdiv, pallas_call, round_up
+
+UNROLL_MAX = int(os.environ.get("XSMM_SPARSE_UNROLL_MAX", 8192))
+_SUB = 8  # sublanes per B-row tile
+
+
+def _as_csr(a: Union[np.ndarray, Csr], tol: float = 0.0) -> Csr:
+    if isinstance(a, Csr):
+        return a
+    return Csr.from_dense(np.asarray(a), tol)
+
+
+def _split_const(v: float):
+    hi = np.float32(v)
+    lo = np.float32(np.float64(v) - np.float64(hi))
+    return float(hi), float(lo)
+
+
+class CsrSpgemm:
+    """Compiled kernel computing C[M,N] = A_sparse[M,K] @ B[K,N].
+
+    Call: kernel(b) with b [K, N] (f32) or numpy f64 (split internally when
+    the descriptor dtype is float64).  N is fixed per kernel (shape-keyed
+    like every dispatch descriptor).
+    """
+
+    def __init__(self, csr: Csr, n: int, dtype="float32",
+                 strategy: str = "auto"):
+        self.csr = csr
+        self.n = n
+        self.dtype = jnp.dtype(dtype) if str(dtype) != "float64" else np.dtype("float64")
+        self.is_f64 = str(dtype) == "float64"
+        if strategy == "auto":
+            strategy = "unroll" if csr.nnz <= UNROLL_MAX else "dense"
+        self.strategy = strategy
+        self._fn = (self._build_unroll() if strategy == "unroll"
+                    else self._build_dense())
+
+    # -- dense/MXU strategy --------------------------------------------------
+    def _build_dense(self):
+        a_dense = self.csr.toarray()
+        if self.is_f64:
+            ah = jnp.asarray(a_dense.astype(np.float32))
+            al = jnp.asarray((a_dense - a_dense.astype(np.float32)
+                              .astype(np.float64)).astype(np.float32))
+
+            @jax.jit
+            def run(bh, bl):
+                p = jax.lax.Precision.HIGHEST
+                hi = jnp.matmul(ah, bh, precision=p)
+                lo = (jnp.matmul(ah, bl, precision=p)
+                      + jnp.matmul(al, bh, precision=p))
+                return hi, lo
+            return run
+
+        a_j = jnp.asarray(a_dense.astype(self.dtype))
+
+        @jax.jit
+        def run(b):
+            return jnp.matmul(a_j, b, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(self.dtype)
+        return run
+
+    # -- trace-unrolled strategy ----------------------------------------------
+    def _build_unroll(self):
+        csr, n = self.csr, self.n
+        m, k = csr.m, csr.k
+        f64 = self.is_f64
+        np_pad = round_up(n, _SUB * 128)
+        nl = np_pad // _SUB
+
+        # lane-tile: whole N if it fits VMEM, else split the lane axis.
+        # Block bytes = (B rows + C rows) * SUB * bn * 4, doubled for the
+        # pipeline's double buffering (and for hi/lo pairs in f64).
+        per_col = (k + m) * _SUB * 4 * (2 if f64 else 1) * 2
+        budget = 12 * 1024 * 1024
+        bn = nl
+        while bn > 128 and bn * per_col > budget:
+            bn //= 2
+        while nl % bn:
+            bn //= 2
+        bn = max(1, bn)
+        grid = (nl // bn,)
+
+        rows = [(csr.row_ptr[i], csr.row_ptr[i + 1]) for i in range(m)]
+        cols = csr.col_idx
+        vals = csr.values
+
+        if not f64:
+            fvals = [float(v) for v in vals]
+
+            def kernel(b_ref, c_ref):
+                for i, (s, e) in enumerate(rows):
+                    if s == e:
+                        c_ref[i] = jnp.zeros_like(c_ref[i])
+                        continue
+                    acc = fvals[s] * b_ref[int(cols[s])]
+                    for p in range(s + 1, e):
+                        acc = acc + fvals[p] * b_ref[int(cols[p])]
+                    c_ref[i] = acc
+
+            @jax.jit
+            def run(b):
+                b = b.astype(jnp.float32)
+                if n != np_pad:
+                    b = jnp.pad(b, ((0, 0), (0, np_pad - n)))
+                b3 = b.reshape(k, _SUB, nl)
+                out = pallas_call(
+                    kernel,
+                    grid=grid,
+                    in_specs=[pl.BlockSpec((k, _SUB, bn),
+                                           lambda i: (0, 0, i),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((m, _SUB, bn),
+                                           lambda i: (0, 0, i),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((m, _SUB, nl), jnp.float32),
+                    cost_estimate=pl.CostEstimate(
+                        flops=2 * csr.nnz * np_pad,
+                        bytes_accessed=(k + m) * np_pad * 4,
+                        transcendentals=0),
+                )(b3)
+                return out.reshape(m, np_pad)[:, :n].astype(self.dtype)
+            return run
+
+        # f64: values split into hi/lo constants; B arrives as (bh, bl)
+        splits = [_split_const(v) for v in vals]
+
+        def kernel64(bh_ref, bl_ref, ch_ref, cl_ref):
+            for i, (s, e) in enumerate(rows):
+                if s == e:
+                    ch_ref[i] = jnp.zeros_like(ch_ref[i])
+                    cl_ref[i] = jnp.zeros_like(cl_ref[i])
+                    continue
+                vh, vl = splits[s]
+                c0 = int(cols[s])
+                hi = vh * bh_ref[c0]
+                lo = vh * bl_ref[c0] + vl * bh_ref[c0]
+                for p in range(s + 1, e):
+                    vh, vl = splits[p]
+                    c_ = int(cols[p])
+                    hi = hi + vh * bh_ref[c_]
+                    lo = lo + (vh * bl_ref[c_] + vl * bh_ref[c_])
+                ch_ref[i] = hi
+                cl_ref[i] = lo
+
+        @jax.jit
+        def run64(bh, bl):
+            if n != np_pad:
+                bh = jnp.pad(bh, ((0, 0), (0, np_pad - n)))
+                bl = jnp.pad(bl, ((0, 0), (0, np_pad - n)))
+            b3h = bh.reshape(k, _SUB, nl)
+            b3l = bl.reshape(k, _SUB, nl)
+            hi, lo = pallas_call(
+                kernel64,
+                grid=grid,
+                in_specs=[pl.BlockSpec((k, _SUB, bn), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM)] * 2,
+                out_specs=[pl.BlockSpec((m, _SUB, bn), lambda i: (0, 0, i),
+                                        memory_space=pltpu.VMEM)] * 2,
+                out_shape=[jax.ShapeDtypeStruct((m, _SUB, nl),
+                                                jnp.float32)] * 2,
+                cost_estimate=pl.CostEstimate(
+                    flops=6 * csr.nnz * np_pad,
+                    bytes_accessed=2 * (k + m) * np_pad * 4,
+                    transcendentals=0),
+            )(b3h, b3l)
+            return hi.reshape(m, np_pad)[:, :n], lo.reshape(m, np_pad)[:, :n]
+        return run64
+
+    def __call__(self, b):
+        if self.is_f64:
+            b = np.asarray(b, np.float64)
+            bh = b.astype(np.float32)
+            bl = (b - bh.astype(np.float64)).astype(np.float32)
+            hi, lo = self._fn(jnp.asarray(bh), jnp.asarray(bl))
+            return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        return self._fn(b)
+
+
+class CscBSpgemm:
+    """C[M,N] = A_dense[M,K] @ B_sparse[K,N]  (csc_bsparse_soa analog).
+
+    Implemented via the transpose identity C^T = B^T A^T: B^T in CSR runs
+    through CsrSpgemm with the M dimension as the vector axis.
+    """
+
+    def __init__(self, csc: Csc, m: int, dtype="float32",
+                 strategy: str = "auto"):
+        self.csc = csc
+        self.m = m
+        bt_csr = Csr(csc.k, csc.m, csc.col_ptr, csc.row_idx, csc.values)
+        self._inner = CsrSpgemm(bt_csr, m, dtype=dtype, strategy=strategy)
+        self.strategy = self._inner.strategy
+        self.is_f64 = self._inner.is_f64
+
+    def __call__(self, a):
+        at = np.swapaxes(np.asarray(a), -1, -2) if self.is_f64 \
+            else jnp.swapaxes(a, -1, -2)
+        ct = self._inner(at)
+        return np.swapaxes(ct, -1, -2) if self.is_f64 \
+            else jnp.swapaxes(ct, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch frontends (libxsmm_create_xcsr_soa / dcsr_reg analogs)
+# ---------------------------------------------------------------------------
+
+
+def create_csr_soa(a, n: int, dtype="float32", strategy: str = "auto",
+                   tol: float = 0.0) -> CsrSpgemm:
+    """Sparse-A (CSR or dense-with-zeros) x dense-B kernel, cached by
+    structure digest (libxsmm_create_xcsr_soa, libxsmm_main.c:2423)."""
+    csr = _as_csr(a, tol)
+    desc = SparseDescriptor(kind="csr_asparse", m=csr.m, n=n, k=csr.k,
+                            dtype=str(np.dtype(dtype) if dtype == "float64"
+                                      else jnp.dtype(dtype)),
+                            structure_digest=csr.structure_digest(),
+                            flags={"auto": 0, "unroll": 1, "dense": 2}[strategy])
+    return get_registry().dispatch(
+        desc, lambda: CsrSpgemm(csr, n, dtype, strategy),
+        name=f"spgemm_csr_{csr.m}x{n}x{csr.k}_nnz{csr.nnz}")
+
+
+def create_dcsr_reg(a, n: int, strategy: str = "unroll") -> CsrSpgemm:
+    """FP64 register-sparse analog (libxsmm_create_dcsr_reg): values baked
+    into the kernel as hi/lo constant pairs."""
+    return create_csr_soa(a, n, dtype="float64", strategy=strategy)
+
+
+def create_csc_soa(b, m: int, dtype="float32", strategy: str = "auto",
+                   tol: float = 0.0) -> CscBSpgemm:
+    """Dense-A x sparse-B kernel (libxsmm_create_xcsc_soa analog)."""
+    if not isinstance(b, Csc):
+        b = Csc.from_dense(np.asarray(b), tol)
+    desc = SparseDescriptor(kind="csc_bsparse", m=m, n=b.k, k=b.m,
+                            dtype=str(np.dtype(dtype) if dtype == "float64"
+                                      else jnp.dtype(dtype)),
+                            structure_digest=Csr(
+                                b.k, b.m, b.col_ptr, b.row_idx,
+                                b.values).structure_digest(),
+                            flags={"auto": 0, "unroll": 1, "dense": 2}[strategy])
+    return get_registry().dispatch(
+        desc, lambda: CscBSpgemm(b, m, dtype, strategy),
+        name=f"spgemm_csc_{m}x{b.k}x{b.m}_nnz{b.nnz}")

@@ -54,7 +54,8 @@ def gflops(flops: float, seconds: float) -> float:
 
 
 def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
-                 feedback: Optional[Callable] = None, repeats: int = 3) -> float:
+                 feedback: Optional[Callable] = None, repeats: int = 3,
+                 probe: str = "sum") -> float:
     """Measure per-call device time of ``fn(*args)``, immune to host latency.
 
     Runs N chained iterations of ``fn`` inside ONE jitted computation with a
@@ -76,16 +77,31 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
 
     def default_feedback(out, a):
         # Write a value derived from the output into one input element.
-        # This must be a genuine data dependency: `probe * 0` folds to zero
-        # in XLA's algebraic simplifier, the update becomes identity, and
-        # the op under test gets hoisted out of the loop (measured: "818
-        # TFLOP/s" matmuls).  A .set() of the live value cannot fold.
-        probe = tree_leaves(out)[0].ravel()[0]
+        # This must be a genuine data dependency on the FULL output:
+        #  - `probe * 0` folds to zero in XLA's algebraic simplifier, the
+        #    update becomes identity, and the op gets hoisted ("818 TFLOP/s"
+        #    matmuls were measured before this fix);
+        #  - a single-element probe lets XLA strength-reduce a dot to one
+        #    row x column product ("78 TB/s" sparse matmuls).
+        # probe="sum" (default) consumes every output element — safe for
+        # plain-XLA ops.  probe="elem" reads one element — cheaper, and safe
+        # for Pallas kernels (custom calls are opaque to the simplifier).
+        # consume EVERY output leaf, else XLA dead-code-eliminates the
+        # computations feeding the unconsumed ones
+        leaves = tree_leaves(out)
+        if probe == "elem":
+            p = leaves[0].ravel()[0]
+            for l in leaves[1:]:
+                p = p + l.ravel()[0].astype(p.dtype)
+        else:
+            p = jnp.sum(leaves[0])
+            for l in leaves[1:]:
+                p = p + jnp.sum(l).astype(p.dtype)
         a = list(a)
         x = a[0]
         if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
                 x.dtype, jnp.integer):
-            a[0] = x.at[(0,) * x.ndim].set(probe.astype(x.dtype))
+            a[0] = x.at[(0,) * x.ndim].set(p.astype(x.dtype))
         return tuple(a)
 
     fb = feedback or default_feedback
