@@ -1,0 +1,127 @@
+"""Packed LA tests (reference: samples/packed drivers for gemm/getrf/trmm/trsm)."""
+
+import numpy as np
+import pytest
+
+import xsmm_tpu as xt
+from xsmm_tpu.ops import packed
+
+B = 8
+
+
+def lu_gold(a):
+    """Unpivoted LU, packed storage, numpy f64."""
+    a = np.asarray(a, np.float64).copy()
+    m, n = a.shape[-2:]
+    for k in range(min(m, n)):
+        a[..., k + 1:, k] /= a[..., k:k + 1, k:k + 1][..., 0, 0][..., None]
+        a[..., k + 1:, k + 1:] -= (a[..., k + 1:, k:k + 1]
+                                   @ a[..., k:k + 1, k + 1:])
+    return a
+
+
+def dd_matrix(rng, b, m, n=None):
+    """Diagonally dominant (no-pivot-safe) batch."""
+    n = n or m
+    a = rng.standard_normal((b, m, n))
+    for i in range(min(m, n)):
+        a[:, i, i] += m
+    return a
+
+
+def test_getrf_square(rng):
+    m = 16
+    a = dd_matrix(rng, B, m).astype(np.float32)
+    kern = packed.getrf_dispatch(m, m, batch=B)
+    lu = np.asarray(kern(a))
+    xt.check(lu_gold(a), lu, 1e-3, what="getrf 16x16")
+
+
+def test_getrf_rect(rng):
+    m, n = 12, 8
+    a = dd_matrix(rng, B, m, n).astype(np.float32)
+    kern = packed.getrf_dispatch(m, n, batch=B)
+    xt.check(lu_gold(a), np.asarray(kern(a)), 1e-3)
+
+
+def test_getrf_reconstruct(rng):
+    """L @ U must reproduce A."""
+    m = 10
+    a = dd_matrix(rng, B, m).astype(np.float32)
+    lu = np.asarray(packed.getrf_dispatch(m, m, batch=B)(a), np.float64)
+    l = np.tril(lu, -1) + np.eye(m)
+    u = np.triu(lu)
+    xt.check(a, l @ u, 1e-3, what="L@U == A")
+
+
+@pytest.mark.parametrize("side,uplo,transa,diag", [
+    ("L", "L", "N", "N"), ("L", "U", "N", "N"), ("L", "L", "T", "N"),
+    ("L", "L", "N", "U"), ("R", "L", "N", "N"), ("R", "U", "T", "N"),
+])
+def test_trsm_variants(rng, side, uplo, transa, diag):
+    m, n = 12, 10
+    am = m if side == "L" else n
+    a = dd_matrix(rng, B, am).astype(np.float32)
+    tri = np.tril if uplo == "L" else np.triu
+    at = tri(a)
+    if diag == "U":
+        idx = np.arange(am)
+        at[:, idx, idx] = 1.0
+    b = rng.standard_normal((B, m, n)).astype(np.float32)
+    kern = packed.trsm_dispatch(m, n, side=side, uplo=uplo, transa=transa,
+                                diag=diag, batch=B)
+    x = np.asarray(kern(a, b), np.float64)
+    opa = np.swapaxes(at, -1, -2) if transa == "T" else at
+    lhs = opa.astype(np.float64) @ x if side == "L" else x @ opa.astype(np.float64)
+    xt.check(np.asarray(b, np.float64), lhs, 1e-3,
+             what=f"trsm {side}{uplo}{transa}{diag}")
+
+
+def test_trsm_alpha(rng):
+    m, n = 8, 6
+    a = dd_matrix(rng, B, m).astype(np.float32)
+    b = rng.standard_normal((B, m, n)).astype(np.float32)
+    kern = packed.trsm_dispatch(m, n, batch=B)
+    x2 = np.asarray(kern(a, b, alpha=2.0), np.float64)
+    x1 = np.asarray(kern(a, b), np.float64)
+    xt.check(2.0 * x1, x2, 1e-3)
+
+
+def test_trsm_f64_refinement(rng):
+    m, n = 16, 12
+    a = dd_matrix(rng, B, m)
+    b = rng.standard_normal((B, m, n))
+    kern = packed.trsm_dispatch(m, n, dtype="float64", batch=B)
+    x = kern(a, b)
+    lhs = np.tril(a) @ x
+    info = xt.matdiff(b, lhs)
+    assert info.normf_rel < 1e-8, f"refined trsm too lossy: {info.normf_rel}"
+
+
+@pytest.mark.parametrize("side,uplo", [("L", "L"), ("L", "U"), ("R", "U")])
+def test_trmm(rng, side, uplo):
+    m, n = 9, 11
+    am = m if side == "L" else n
+    a = rng.standard_normal((B, am, am)).astype(np.float32)
+    b = rng.standard_normal((B, m, n)).astype(np.float32)
+    kern = packed.trmm_dispatch(m, n, side=side, uplo=uplo, batch=B)
+    c = np.asarray(kern(a, b), np.float64)
+    tri = np.tril if uplo == "L" else np.triu
+    at = tri(np.asarray(a, np.float64))
+    gold = at @ b if side == "L" else b @ at
+    xt.check(gold, c, 1e-3, what=f"trmm {side}{uplo}")
+
+
+def test_pgemm(rng):
+    kern = packed.pgemm_dispatch(8, 8, 8, batch=B)
+    a = rng.standard_normal((B, 8, 8)).astype(np.float32)
+    b = rng.standard_normal((B, 8, 8)).astype(np.float32)
+    gold = np.einsum("bmk,bkn->bmn", a.astype(np.float64),
+                     b.astype(np.float64))
+    xt.check(gold, np.asarray(kern(a, b)), 1e-3)
+
+
+def test_dispatch_cached():
+    k1 = packed.getrf_dispatch(8, 8)
+    assert packed.getrf_dispatch(8, 8) is k1
+    assert packed.trsm_dispatch(8, 8) is packed.trsm_dispatch(8, 8)
