@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness: ring SpMM at 1 vs N devices.
+
+Analog of the reference's driver-printed GFLOPS lines (e.g.
+samples/pyfr/pyfr_driver_asp_reg.c) extended with the BASELINE scaling
+metric: nnz/s at 1 device vs N devices, efficiency = rate_N / (N * rate_1).
+
+On real multi-chip hardware this measures ICI ring overlap; on a single-chip
+or CPU box run it with the virtual-device mesh to validate the machinery:
+
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python samples/scaling_bench.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import xsmm_tpu as xt
+from xsmm_tpu.parallel import dist_spmm
+from xsmm_tpu.parallel.mesh import make_mesh
+from xsmm_tpu.utils.timer import device_bench
+
+
+def bench_at(n_dev: int, m: int, k: int, n: int, density: float,
+             seed: int = 0):
+    rng = np.random.default_rng(seed)
+    a = np.where(rng.random((m, k)) < density,
+                 rng.standard_normal((m, k)), 0.0).astype(np.float32)
+    nnz = int(np.count_nonzero(a))
+    b = rng.standard_normal((k, n)).astype(np.float32)
+
+    mesh = make_mesh((1, n_dev), ("dp", "mp"),
+                     devices=jax.devices()[:n_dev])
+    fn = dist_spmm.ring_spmm(mesh)
+    a_s = dist_spmm.shard_rows(mesh, a)
+    b_s = dist_spmm.shard_rows(mesh, b)
+
+    # correctness gate first (1e-3 rel-Frobenius, reference tests/gemm.c:224)
+    c = np.asarray(fn(a_s, b_s))[:m]
+    xt.check(np.asarray(a, np.float64) @ np.asarray(b, np.float64), c, 1e-3)
+
+    dt = device_bench(fn, a_s, b_s)
+    return {"devices": n_dev, "nnz": nnz, "seconds": dt,
+            "gnnz_per_s": nnz * n / dt / 1e9,
+            "gflops": 2 * nnz * n / dt / 1e9}
+
+
+def main():
+    m, k, n = 512, 512, 8192
+    density = 0.10
+    ndev = len(jax.devices())
+    r1 = bench_at(1, m, k, n, density)
+    out = {"metric": "ring_spmm_scaling", "base": r1}
+    if ndev > 1:
+        rn = bench_at(ndev, m, k, n, density)
+        out["scaled"] = rn
+        out["scaling_efficiency"] = rn["gnnz_per_s"] / (
+            ndev * r1["gnnz_per_s"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-way virtual CPU mesh.
+
+The analog of the reference's noarch/cross-ISA trick for distribution
+(SURVEY.md §4): validate sharding + collectives without N real chips.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import xsmm_tpu as xt
+from xsmm_tpu.parallel.mesh import make_mesh
+from xsmm_tpu.parallel import dist_spmm
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh((1, 8), ("dp", "mp"))
+
+
+def test_mesh_shapes():
+    m = make_mesh((2, 4), ("dp", "mp"))
+    assert m.shape == {"dp": 2, "mp": 4}
+    m2 = make_mesh((-1, 2), ("dp", "mp"))
+    assert m2.shape["dp"] * m2.shape["mp"] == len(jax.devices())
+
+
+def test_mesh_bad_shape():
+    with pytest.raises(ValueError):
+        make_mesh((3, 3), ("dp", "mp"))
+
+
+def test_ring_spmm_matches_gold(rng, mesh8):
+    m, k, n = 64, 64, 96
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    fn = dist_spmm.ring_spmm(mesh8)
+    a_s = dist_spmm.shard_rows(mesh8, a)
+    b_s = dist_spmm.shard_rows(mesh8, b)
+    c = np.asarray(fn(a_s, b_s))
+    xt.check(np.asarray(a, np.float64) @ np.asarray(b, np.float64), c, 1e-3,
+             what="ring spmm 8 devices")
+
+
+def test_ring_spmm_sparse_operator(rng, mesh8):
+    """Row-partitioned sparse operator (densified) x dense B over the ring."""
+    m, k, n = 48, 64, 128
+    a = np.where(rng.random((m, k)) < 0.15,
+                 rng.standard_normal((m, k)), 0.0).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    fn = dist_spmm.ring_spmm(mesh8)
+    c = np.asarray(fn(dist_spmm.shard_rows(mesh8, a),
+                      dist_spmm.shard_rows(mesh8, b)))
+    xt.check(np.asarray(a, np.float64) @ np.asarray(b, np.float64),
+             c[:m], 1e-3)
+
+
+def test_col_sharded_spmm(rng, mesh8):
+    m, k, n = 32, 40, 64
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    fn = dist_spmm.col_sharded_spmm(mesh8)
+    c = np.asarray(fn(jnp.asarray(a), dist_spmm.shard_cols(mesh8, b)))
+    xt.check(np.asarray(a, np.float64) @ np.asarray(b, np.float64),
+             c[:, :n], 1e-3)
+
+
+def test_dp_batched_smm(rng, mesh8):
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    B, m, n, k = 1024, 8, 8, 8
+    kern = xt.smmdispatch(m, n, k, batch=B, beta=0.0)
+    a = rng.standard_normal((B, m, k)).astype(np.float32)
+    b = rng.standard_normal((B, k, n)).astype(np.float32)
+    fn = dist_spmm.dp_batched_smm(mesh, kern)
+    ap, bp = kern.pack_a(a), kern.pack_b(b)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(None, None, "dp"))
+    cp = fn(jax.device_put(ap, sh), jax.device_put(bp, sh))
+    c = np.asarray(kern.unpack_c(cp, B))
+    gold = np.einsum("bmk,bkn->bmn", a.astype(np.float64),
+                     b.astype(np.float64))
+    xt.check(gold, c, 1e-3, what="dp batched smm over 8 devices")
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

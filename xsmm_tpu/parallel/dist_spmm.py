@@ -1,0 +1,139 @@
+"""Distributed (multi-chip / multi-host) partitioned SpMM / GEMM.
+
+Reference context: the reference's only multi-node mechanism is GxM's MLSL
+data-parallel gradient allreduce (samples/deeplearning/gxm/src/Conv.cpp:350);
+the core library has no network code.  The BASELINE targets instead ask for
+row/block-partitioned matrices with halo exchange over ICI overlapped with
+compute (BASELINE.md, SURVEY.md §5).
+
+TPU-native design: shard_map over a named mesh axis with a **ring schedule**:
+
+  A is row-partitioned: device d holds A_d = A[d*Ml:(d+1)*Ml, :]  (all K)
+  B is row(K)-partitioned: device d holds B_d = B[d*Kl:(d+1)*Kl, :]
+  C_d = sum_e A_d[:, e-block] @ B_e
+
+Each of D steps multiplies the resident B panel with the matching column
+block of A_d, then rotates the panel one hop with lax.ppermute — structurally
+identical to ring-attention's KV rotation.  XLA's latency-hiding scheduler
+overlaps the permute with the next step's matmul; the per-step compute is
+the framework's local kernel.  On a single host the ring rides ICI; across
+pods XLA routes the same collective over DCN — no transport code here.
+
+Also provided: the no-communication column-sharded variant (B split along N,
+A replicated — the right layout when B is the big operand), and a
+data-parallel batched-SMM wrapper with psum'd reductions for GxM-style use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _sm  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+
+def _shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=check_vma)
+    except TypeError:  # older jax without check_vma
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def ring_spmm(mesh: Mesh, axis: str = "mp", precision=None):
+    """Build fn(a, b) -> c with A row-sharded, B k-sharded, C row-sharded.
+
+    a: [M, K] sharded (axis, None) — operator (dense or densified sparse)
+    b: [K, N] sharded (axis, None)
+    c: [M, N] sharded (axis, None)
+    """
+    d = mesh.shape[axis]
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    def local(a_loc, b_loc):
+        kl = b_loc.shape[0]
+        my = jax.lax.axis_index(axis)
+
+        def step(i, carry):
+            c, b_cur = carry
+            # the resident panel at step i originated on device (my + i) % d
+            src = (my + i) % d
+            a_blk = jax.lax.dynamic_slice_in_dim(a_loc, src * kl, kl, 1)
+            c = c + jnp.matmul(a_blk, b_cur, precision=prec,
+                               preferred_element_type=jnp.float32)
+            b_nxt = jax.lax.ppermute(
+                b_cur, axis, perm=[(j, (j - 1) % d) for j in range(d)])
+            return c, b_nxt
+
+        c0 = jnp.zeros((a_loc.shape[0], b_loc.shape[1]), jnp.float32)
+        if hasattr(jax.lax, "pvary"):
+            # mark the carry as device-varying on the ring axis so it
+            # type-checks against the loop body's output (shard_map VMA)
+            c0 = jax.lax.pvary(c0, (axis,))
+        c, _ = jax.lax.fori_loop(0, d, step, (c0, b_loc))
+        return c.astype(a_loc.dtype)
+
+    spec = P(axis, None)
+    return jax.jit(_shard_map(local, mesh, (spec, spec), spec))
+
+
+def col_sharded_spmm(mesh: Mesh, axis: str = "mp", precision=None):
+    """fn(a, b) -> c with A replicated, B/C column(N)-sharded — zero comm.
+
+    The right layout when B is the wide streaming operand (PyFR-style):
+    each device computes all M rows for its N columns.
+    """
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    def local(a_loc, b_loc):
+        return jnp.matmul(a_loc, b_loc, precision=prec,
+                          preferred_element_type=jnp.float32
+                          ).astype(a_loc.dtype)
+
+    return jax.jit(_shard_map(local, mesh, (P(), P(None, axis)),
+                              P(None, axis)))
+
+
+def dp_batched_smm(mesh: Mesh, kernel, axis: str = "dp"):
+    """Data-parallel wrapper over a lane-packed BatchedSMM kernel.
+
+    Shards the lane (batch) axis of packed operands across the mesh; each
+    device runs the local Pallas kernel on its shard.  No collectives needed
+    for the independent-problems case (the GxM-DP analog applies psum to
+    gradients, not to forward SMMs).
+    """
+    spec = P(None, None, axis)
+
+    def local(*ops):
+        return kernel.packed(*ops)
+
+    n_in = 2  # a, b (beta=0 form)
+    # check_vma=False: pallas_call's ShapeDtypeStruct carries no vma info
+    return jax.jit(_shard_map(local, mesh, (spec,) * n_in, spec,
+                              check_vma=False))
+
+
+def shard_rows(mesh: Mesh, x, axis: str = "mp"):
+    """Place [R, C] array row-sharded on the mesh axis (pads R if needed)."""
+    d = mesh.shape[axis]
+    r = x.shape[0]
+    pad = (-r) % d
+    if pad:
+        x = jnp.pad(jnp.asarray(x), ((0, pad), (0, 0)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis, None)))
+
+
+def shard_cols(mesh: Mesh, x, axis: str = "mp"):
+    d = mesh.shape[axis]
+    pad = (-x.shape[1]) % d
+    if pad:
+        x = jnp.pad(jnp.asarray(x), ((0, 0), (0, pad)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, axis)))
