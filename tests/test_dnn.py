@@ -1,0 +1,297 @@
+"""DNN layer tests (reference: samples/deeplearning/*driver layer drivers).
+
+Forward passes validate against numpy/jax gold; backward/update validate
+against jax autodiff of the forward (the reference validates bwd/upd against
+finite differences / reference loops — autodiff is the exact analog).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import xsmm_tpu as xt
+from xsmm_tpu.dnn import (BnDesc, BnFuse, CellType, ConvDesc, FCDesc, Format,
+                          FuseOp, Kind, PoolingDesc, PoolType, RnnDesc,
+                          create_conv_layer, create_fullyconnected_layer,
+                          create_fusedbatchnorm, create_pooling_layer,
+                          create_rnncell)
+
+TOL = 1e-3
+
+
+# ------------------------------------------------------------------ conv ----
+
+def conv_gold(x, w, stride, pad):
+    return jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float64), jnp.asarray(w, jnp.float64),
+        window_strides=stride, padding=(pad, pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("stride,pad", [(1, 0), (1, 1), (2, 1)])
+def test_conv_forward(rng, stride, pad):
+    d = ConvDesc(n=2, c=5, h=8, w=8, k=7, r=3, s=3, u=stride, v=stride,
+                 pad_h=pad, pad_w=pad)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 8, 8, 5)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.2
+    y = np.asarray(layer.forward(x, wt))
+    assert y.shape == (2, d.out_h, d.out_w, 7)
+    xt.check(np.asarray(conv_gold(x, wt, (stride, stride), (pad, pad))),
+             y, TOL, what=f"conv fwd s{stride} p{pad}")
+
+
+def test_conv_fused_bias_relu(rng):
+    d = ConvDesc(n=2, c=4, h=6, w=6, k=8, r=3, s=3, pad_h=1, pad_w=1,
+                 fuse_ops=FuseOp.BIAS | FuseOp.RELU)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 6, 6, 4)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, 4, 8)).astype(np.float32) * 0.2
+    b = rng.standard_normal((8,)).astype(np.float32)
+    y = np.asarray(layer.forward(x, wt, b))
+    gold = np.maximum(np.asarray(conv_gold(x, wt, (1, 1), (1, 1))) + b, 0)
+    xt.check(gold, y, TOL)
+    assert (y >= 0).all()
+
+
+def test_conv_batch_stats(rng):
+    d = ConvDesc(n=2, c=3, h=5, w=5, k=6, r=1, s=1,
+                 fuse_ops=FuseOp.BATCH_STATS_FWD)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    wt = rng.standard_normal((1, 1, 3, 6)).astype(np.float32)
+    y, stats = layer.forward(x, wt)
+    y = np.asarray(y, np.float64)
+    assert np.allclose(np.asarray(stats.sum), y.sum((0, 1, 2)), atol=1e-3)
+    assert np.allclose(np.asarray(stats.sumsq), (y * y).sum((0, 1, 2)),
+                       atol=1e-3)
+
+
+@pytest.mark.parametrize("stride,pad", [(1, 1), (2, 1)])
+def test_conv_bwd_upd_vs_autodiff(rng, stride, pad):
+    d = ConvDesc(n=2, c=4, h=8, w=8, k=6, r=3, s=3, u=stride, v=stride,
+                 pad_h=pad, pad_w=pad)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, 4, 6)).astype(np.float32) * 0.3
+    dy = rng.standard_normal((2, d.out_h, d.out_w, 6)).astype(np.float32)
+
+    def f(x_, w_):
+        return jnp.sum(jax.lax.conv_general_dilated(
+            x_, w_, (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) * dy)
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(wt))
+    xt.check(np.asarray(gx, np.float64), np.asarray(layer.backward(dy, wt)),
+             TOL, what="conv bwd")
+    xt.check(np.asarray(gw, np.float64),
+             np.asarray(layer.weight_update(x, dy)), TOL, what="conv upd")
+
+
+def test_conv_nchw_kcrs_formats(rng):
+    d = ConvDesc(n=2, c=3, h=6, w=6, k=4, r=3, s=3, pad_h=1, pad_w=1,
+                 buffer_format=Format.NCHW, filter_format=Format.KCRS)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 3, 6, 6)).astype(np.float32)
+    wt = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    y = np.asarray(layer.forward(x, wt))
+    assert y.shape == (2, 4, 6, 6)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    w_hwio = np.transpose(wt, (2, 3, 1, 0))
+    gold = np.transpose(np.asarray(
+        conv_gold(x_nhwc, w_hwio, (1, 1), (1, 1))), (0, 3, 1, 2))
+    xt.check(gold, y, TOL)
+
+
+def test_conv_execute_api(rng):
+    d = ConvDesc(n=1, c=2, h=4, w=4, k=2, r=3, s=3, pad_h=1, pad_w=1)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, 2, 2)).astype(np.float32)
+    y = layer.execute(Kind.FWD, input=x, filter=wt)
+    dy = np.ones_like(np.asarray(y))
+    dx = layer.execute(Kind.BWD, grad_output=dy, filter=wt)
+    dw = layer.execute(Kind.UPD, input=x, grad_output=dy)
+    assert np.asarray(dx).shape == x.shape
+    assert np.asarray(dw).shape == wt.shape
+
+
+# -------------------------------------------------------------------- fc ----
+
+def test_fc_fwd_bwd_upd(rng):
+    d = FCDesc(n=16, c=32, k=24, fuse_ops=FuseOp.BIAS | FuseOp.RELU)
+    layer = create_fullyconnected_layer(d)
+    x = rng.standard_normal((16, 32)).astype(np.float32)
+    w = rng.standard_normal((32, 24)).astype(np.float32) * 0.2
+    b = rng.standard_normal((24,)).astype(np.float32)
+    y, mask = layer.forward(x, w, b)
+    gold = np.maximum(x.astype(np.float64) @ w.astype(np.float64) + b, 0)
+    xt.check(gold, np.asarray(y), TOL)
+
+    dy = rng.standard_normal(np.asarray(y).shape).astype(np.float32)
+
+    def f(x_, w_, b_):
+        return jnp.sum(jnp.maximum(x_ @ w_ + b_, 0) * dy)
+
+    gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    xt.check(np.asarray(gx, np.float64),
+             np.asarray(layer.backward(dy, w, mask)), TOL)
+    dw, db = layer.weight_update(x, dy, mask)
+    xt.check(np.asarray(gw, np.float64), np.asarray(dw), TOL)
+    xt.check(np.asarray(gb, np.float64), np.asarray(db), TOL)
+
+
+# --------------------------------------------------------------- pooling ----
+
+@pytest.mark.parametrize("ptype", [PoolType.MAX, PoolType.AVG])
+def test_pooling(rng, ptype):
+    d = PoolingDesc(n=2, c=6, h=8, w=8, r=2, s=2, u=2, v=2, pool_type=ptype)
+    layer = create_pooling_layer(d)
+    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+    y = np.asarray(layer.forward(x))
+    assert y.shape == (2, 4, 4, 6)
+    xr = x.reshape(2, 4, 2, 4, 2, 6)
+    gold = xr.max((2, 4)) if ptype == PoolType.MAX else xr.mean((2, 4))
+    xt.check(gold, y, TOL)
+    dy = rng.standard_normal(y.shape).astype(np.float32)
+    dx = np.asarray(layer.backward(dy, x))
+    assert dx.shape == x.shape
+    # gradient sum is preserved
+    assert abs(dx.sum() - dy.sum()) < 1e-2
+
+
+# ----------------------------------------------------------------- bnorm ----
+
+def test_batchnorm_fwd_bwd(rng):
+    d = BnDesc(n=4, c=6, h=5, w=5, fuse=BnFuse.RELU)
+    bn = create_fusedbatchnorm(d)
+    x = rng.standard_normal((4, 5, 5, 6)).astype(np.float32) * 2 + 1
+    gamma = rng.standard_normal((6,)).astype(np.float32)
+    beta = rng.standard_normal((6,)).astype(np.float32)
+    y, state = bn.forward(x, gamma, beta)
+    mean = x.astype(np.float64).mean((0, 1, 2))
+    var = x.astype(np.float64).var((0, 1, 2))
+    gold = np.maximum((x - mean) / np.sqrt(var + d.eps) * gamma + beta, 0)
+    xt.check(gold, np.asarray(y), TOL)
+
+    dy = rng.standard_normal(np.asarray(y).shape).astype(np.float32)
+
+    def f(x_, g_, b_):
+        m = jnp.mean(x_, axis=(0, 1, 2))
+        v = jnp.var(x_, axis=(0, 1, 2))
+        yy = jnp.maximum((x_ - m) * jax.lax.rsqrt(v + d.eps) * g_ + b_, 0)
+        return jnp.sum(yy * dy)
+
+    gx, gg, gb = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+    dx, dgamma, dbeta = bn.backward(dy, gamma, state)
+    xt.check(np.asarray(gx, np.float64), np.asarray(dx), 1e-2, what="bn dx")
+    xt.check(np.asarray(gg, np.float64), np.asarray(dgamma), TOL)
+    xt.check(np.asarray(gb, np.float64), np.asarray(dbeta), TOL)
+
+
+def test_batchnorm_eltwise_residual(rng):
+    d = BnDesc(n=2, c=4, h=3, w=3, fuse=BnFuse.ELTWISE_RELU)
+    bn = create_fusedbatchnorm(d)
+    x = rng.standard_normal((2, 3, 3, 4)).astype(np.float32)
+    res = rng.standard_normal((2, 3, 3, 4)).astype(np.float32)
+    g = np.ones(4, np.float32)
+    b = np.zeros(4, np.float32)
+    y, state = bn.forward(x, g, b, res)
+    assert (np.asarray(y) >= 0).all()
+    out = bn.backward(np.ones_like(np.asarray(y)), g, state)
+    assert len(out) == 4  # dx, dgamma, dbeta, dresidual
+
+
+# ------------------------------------------------------------------- rnn ----
+
+def lstm_gold(xt_, w, r, b, h0, c0, k):
+    T = xt_.shape[0]
+    h, c = h0.astype(np.float64), c0.astype(np.float64)
+    w, r, b = (np.asarray(v, np.float64) for v in (w, r, b))
+    hs = []
+    sig = lambda z: 1 / (1 + np.exp(-z))
+    for t in range(T):
+        z = xt_[t].astype(np.float64) @ w + h @ r + b
+        i, g = sig(z[:, :k]), np.tanh(z[:, k:2 * k])
+        f, o = sig(z[:, 2 * k:3 * k]), sig(z[:, 3 * k:])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        hs.append(h)
+    return np.stack(hs), h, c
+
+
+def test_lstm_forward(rng):
+    n, c_, k, t = 8, 10, 12, 5
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.LSTM)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, 4 * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, 4 * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((4 * k,)).astype(np.float32)
+    h0 = rng.standard_normal((n, k)).astype(np.float32)
+    c0 = rng.standard_normal((n, k)).astype(np.float32)
+    hs, hT, cT = cell.forward(xt_, w, r, b, h0, c0)
+    ghs, gh, gc = lstm_gold(xt_, w, r, b, h0, c0, k)
+    xt.check(ghs, np.asarray(hs), TOL, what="lstm seq")
+    xt.check(gc, np.asarray(cT), TOL, what="lstm cell state")
+
+
+def test_lstm_bwd_upd(rng):
+    n, c_, k, t = 4, 6, 5, 3
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.LSTM)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, 4 * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, 4 * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((4 * k,)).astype(np.float32)
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+    grads = cell.backward_weight_update(xt_, w, r, b, dhs)
+    assert len(grads) == 6
+    dxt, dw, dr, db, dh0, dc0 = grads
+    assert np.asarray(dxt).shape == xt_.shape
+    assert np.asarray(dw).shape == w.shape
+    # cross-check dw against explicit autodiff of the gold-equivalent fwd
+    h0 = jnp.zeros((n, k)); c0 = jnp.zeros((n, k))
+
+    def f(w_):
+        hs, _, _ = cell._fwd(jnp.asarray(xt_), w_, jnp.asarray(r),
+                             jnp.asarray(b), h0, c0)
+        return jnp.sum(hs * dhs)
+
+    gw = jax.grad(f)(jnp.asarray(w))
+    xt.check(np.asarray(gw, np.float64), np.asarray(dw), TOL, what="lstm dw")
+
+
+@pytest.mark.parametrize("ct", [CellType.RNN_RELU, CellType.RNN_TANH,
+                                CellType.GRU])
+def test_other_cells_run(rng, ct):
+    n, c_, k, t = 4, 6, 5, 3
+    g = {CellType.GRU: 3}.get(ct, 1)
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, g * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, g * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((g * k,)).astype(np.float32)
+    hs, hT, cT = cell.forward(xt_, w, r, b)
+    assert np.asarray(hs).shape == (t, n, k)
+    assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_rnn_tanh_matches_gold(rng):
+    n, c_, k, t = 4, 5, 6, 4
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.RNN_TANH)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, k)) * 0.4).astype(np.float32)
+    r = (rng.standard_normal((k, k)) * 0.4).astype(np.float32)
+    b = rng.standard_normal((k,)).astype(np.float32)
+    hs, _, _ = cell.forward(xt_, w, r, b)
+    h = np.zeros((n, k))
+    for tt in range(t):
+        h = np.tanh(xt_[tt].astype(np.float64) @ w + h @ r + b)
+    xt.check(h, np.asarray(hs)[-1], TOL)

@@ -1,0 +1,97 @@
+"""Fused batch normalization (fwd + bwd) with eltwise-add / ReLU fusions.
+
+Reference: src/libxsmm_dnn_fusedbatchnorm*.c with fuse flags BN / ELTWISE /
+RELU combos (libxsmm_typedefs.h:378-391).
+
+TPU-native: the normalization, residual add, and ReLU are one fused VPU
+epilogue under XLA; batch statistics are psum-able for the data-parallel
+trainer (models/gxm) — pass axis_name to sync stats across the dp mesh axis
+like a cross-replica BN.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .types import BnDesc, BnFuse, Kind
+
+
+class BnState(NamedTuple):
+    mean: jax.Array
+    var: jax.Array
+    inv_std: jax.Array
+    x_hat: jax.Array
+    relu_mask: Optional[jax.Array]
+
+
+class FusedBatchNorm:
+    def __init__(self, desc: BnDesc, axis_name: Optional[str] = None):
+        self.desc = desc
+        d = desc
+        red = (0, 1, 2)  # N, H, W of NHWC
+
+        def fwd(x, gamma, beta, residual=None):
+            x = x.astype(jnp.float32)
+            mean = jnp.mean(x, axis=red)
+            var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)
+            if axis_name:
+                mean = jax.lax.pmean(mean, axis_name)
+                var = jax.lax.pmean(var, axis_name)
+            inv_std = jax.lax.rsqrt(var + d.eps)
+            x_hat = (x - mean) * inv_std
+            y = x_hat * gamma + beta
+            if d.fuse & BnFuse.ELTWISE:
+                if residual is None:
+                    raise ValueError("ELTWISE fusion requires residual")
+                y = y + residual.astype(jnp.float32)
+            mask = None
+            if d.fuse & BnFuse.RELU:
+                mask = y > 0
+                y = jnp.maximum(y, 0.0)
+            return y.astype(jnp.dtype(d.dtype)), BnState(
+                mean, var, inv_std, x_hat, mask)
+
+        self._fwd = jax.jit(fwd)
+
+        def bwd(dy, gamma, state: BnState):
+            dy = dy.astype(jnp.float32)
+            if state.relu_mask is not None:
+                dy = jnp.where(state.relu_mask, dy, 0.0)
+            dresidual = dy if d.fuse & BnFuse.ELTWISE else None
+            nhw = d.n * d.h * d.w
+            dgamma = jnp.sum(dy * state.x_hat, axis=red)
+            dbeta = jnp.sum(dy, axis=red)
+            if axis_name:
+                dgamma = jax.lax.psum(dgamma, axis_name)
+                dbeta = jax.lax.psum(dbeta, axis_name)
+            dx_hat = dy * gamma
+            dx = (state.inv_std / nhw) * (
+                nhw * dx_hat - jnp.sum(dx_hat, axis=red)
+                - state.x_hat * jnp.sum(dx_hat * state.x_hat, axis=red))
+            out = (dx.astype(jnp.dtype(d.dtype)), dgamma, dbeta)
+            return out + ((dresidual,) if dresidual is not None else ())
+
+        self._bwd = jax.jit(bwd)
+
+    def forward(self, x, gamma, beta, residual=None):
+        if residual is not None:
+            return self._fwd(x, gamma, beta, residual)
+        return self._fwd(x, gamma, beta)
+
+    def backward(self, dy, gamma, state):
+        return self._bwd(dy, gamma, state)
+
+    def execute(self, kind: Kind, **t):
+        if kind == Kind.FWD:
+            return self.forward(t["input"], t["gamma"], t["beta"],
+                                t.get("residual"))
+        if kind == Kind.BWD:
+            return self.backward(t["grad_output"], t["gamma"], t["state"])
+        raise ValueError(kind)
+
+
+def create_fusedbatchnorm(desc: BnDesc, axis_name=None) -> FusedBatchNorm:
+    return FusedBatchNorm(desc, axis_name)

