@@ -1,0 +1,91 @@
+"""GxM-analog engine + model zoo tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, resnet,
+                             synthetic_batches)
+from xsmm_tpu.models.engine import _schedule
+from xsmm_tpu.parallel.mesh import make_mesh
+
+
+def tiny_resnet():
+    return resnet(depth=18, num_classes=10, width=8)
+
+
+def test_resnet_forward_shapes():
+    params, fwd = tiny_resnet()
+    x = jnp.zeros((2, 32, 32, 3))
+    logits = fwd(params, x)
+    assert logits.shape == (2, 10)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_resnet50_builds():
+    params, fwd = resnet(depth=50, num_classes=10, width=4)
+    logits = fwd(params, jnp.zeros((1, 32, 32, 3)))
+    assert logits.shape == (1, 10)
+
+
+def test_alexnet_forward():
+    params, fwd = alexnet(num_classes=10)
+    logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 10)
+
+
+def test_lr_schedules():
+    cfg = SolverConfig(lr=1.0, lr_policy="step", gamma=0.1,
+                       step_epochs=(2, 4))
+    assert _schedule(cfg, 0) == 1.0
+    assert _schedule(cfg, 2) == pytest.approx(0.1)
+    assert _schedule(cfg, 4) == pytest.approx(0.01)
+    poly = SolverConfig(lr=1.0, lr_policy="poly", max_epochs=10, power=1.0)
+    assert _schedule(poly, 5) == pytest.approx(0.5)
+
+
+def test_train_loss_decreases():
+    params, fwd = tiny_resnet()
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.05, lr_policy="fixed"),
+                   mesh=mesh)
+    # one fixed batch, overfit it
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (16,)).astype(np.int32)
+    losses = []
+    for _ in range(6):
+        out = eng.train_epoch(iter([(x, y)]), verbose=False)
+        losses.append(out["loss"])
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_resume_roundtrip():
+    params, fwd = tiny_resnet()
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    with tempfile.TemporaryDirectory() as d:
+        eng = MLEngine(params, fwd, SolverConfig(lr=0.01), mesh=mesh,
+                       checkpoint_dir=d)
+        eng.train_epoch(synthetic_batches(2, 16), verbose=False)
+        w0 = np.asarray(eng.params["fc_w"])
+        epoch0, step0 = eng.epoch, eng.step
+
+        params2, _ = tiny_resnet()
+        eng2 = MLEngine(params2, fwd, SolverConfig(lr=0.01), mesh=mesh,
+                        checkpoint_dir=d)
+        assert eng2.resume()
+        assert eng2.epoch == epoch0 and eng2.step == step0
+        assert np.allclose(np.asarray(eng2.params["fc_w"]), w0)
+
+
+def test_validate():
+    params, fwd = tiny_resnet()
+    eng = MLEngine(params, fwd, SolverConfig(),
+                   mesh=make_mesh((8, 1), ("dp", "mp")))
+    metrics = eng.validate(synthetic_batches(2, 16))
+    assert 0.0 <= metrics["acc"] <= 1.0
+    assert np.isfinite(metrics["loss"])

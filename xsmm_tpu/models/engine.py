@@ -1,0 +1,214 @@
+"""MLEngine — the GxM training-framework analog.
+
+Reference: samples/deeplearning/gxm/src/Engine.cpp — builds the layer graph
+from prototxt, runs epoch/minibatch loops (run(TRAIN) :484, :516-531), does
+MLSL data-parallel gradient allreduce per layer (Conv.cpp:350-352), SGD
+solver with lr schedules, prints images/s per epoch (:600-602), checkpoints
+every epoch + snapshot dirs (:245-365), resumes at startup (:488-500).
+
+TPU-native: one jitted train_step over a dp-sharded mesh — gradients are
+psum'd by XLA from the sharding annotations (no explicit comm layer); the
+solver is momentum SGD with fixed/step/poly schedules (the GxM solver
+surface); checkpoints are per-tensor .npz + JSON meta (epoch, lr, step) in
+the same spirit as GxM's binary-per-tensor + text sidecar, with resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import make_mesh
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """GxM solver surface (SGD + schedule)."""
+
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_policy: str = "fixed"        # fixed | step | poly
+    gamma: float = 0.1              # step decay factor
+    step_epochs: Tuple[int, ...] = (30, 60, 80)
+    power: float = 1.0              # poly exponent
+    max_epochs: int = 90
+
+
+def _schedule(cfg: SolverConfig, epoch: float) -> float:
+    if cfg.lr_policy == "step":
+        drops = sum(1 for e in cfg.step_epochs if epoch >= e)
+        return cfg.lr * (cfg.gamma ** drops)
+    if cfg.lr_policy == "poly":
+        return cfg.lr * (1.0 - epoch / cfg.max_epochs) ** cfg.power
+    return cfg.lr
+
+
+def softmax_xent(logits, labels):
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+class MLEngine:
+    """Train/validate a functional model with DP over a device mesh."""
+
+    def __init__(self, params, forward: Callable, solver: SolverConfig,
+                 mesh: Optional[Mesh] = None,
+                 loss_fn: Callable = softmax_xent,
+                 checkpoint_dir: Optional[str] = None,
+                 compute_dtype=jnp.float32):
+        self.solver = solver
+        self.forward = forward
+        self.loss_fn = loss_fn
+        self.mesh = mesh or make_mesh((len(jax.devices()), 1), ("dp", "mp"))
+        self.checkpoint_dir = checkpoint_dir
+        self.compute_dtype = compute_dtype
+        self.epoch = 0
+        self.step = 0
+
+        # static metadata (strings etc.) cannot pass through jit: split it
+        # out once and close over it
+        self.meta = {k: v for k, v in params.items() if k.startswith("_")}
+        self.params = self._trainable(params)
+        self.momentum = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p) if isinstance(p, jax.Array) else None,
+            self.params)
+
+        self._data_sharding = NamedSharding(self.mesh, P("dp"))
+        self._repl = NamedSharding(self.mesh, P())
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    @staticmethod
+    def _trainable(params):
+        return {k: v for k, v in params.items() if not k.startswith("_")}
+
+    # -- jitted steps ----------------------------------------------------------
+    def _train_step_impl(self, params, momentum, x, y, lr):
+        meta = self.meta
+        train = params
+
+        def loss(tp):
+            logits = self.forward({**tp, **meta}, x,
+                                  compute_dtype=self.compute_dtype)
+            return self.loss_fn(logits, y)
+
+        lval, grads = jax.value_and_grad(loss)(train)
+        cfg = self.solver
+
+        def upd(p, m, g):
+            g = g + cfg.weight_decay * p
+            m2 = cfg.momentum * m + g
+            return p - lr * m2, m2
+
+        flat_p, treedef = jax.tree_util.tree_flatten(train)
+        flat_m = jax.tree_util.tree_leaves(momentum)
+        flat_g = jax.tree_util.tree_leaves(grads)
+        new_p, new_m = [], []
+        for p, m, g in zip(flat_p, flat_m, flat_g):
+            p2, m2 = upd(p, m, g)
+            new_p.append(p2)
+            new_m.append(m2)
+        train2 = jax.tree_util.tree_unflatten(treedef, new_p)
+        mom2 = jax.tree_util.tree_unflatten(treedef, new_m)
+        return train2, mom2, lval
+
+    def _eval_step_impl(self, params, x, y):
+        logits = self.forward({**params, **self.meta}, x,
+                              compute_dtype=self.compute_dtype)
+        acc = jnp.mean((jnp.argmax(logits, axis=1) == y).astype(jnp.float32))
+        return self.loss_fn(logits, y), acc
+
+    # -- public API --------------------------------------------------------------
+    def train_epoch(self, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+                    log_every: int = 50, verbose: bool = True):
+        """One epoch over an iterator of (images NHWC, int labels)."""
+        lr = _schedule(self.solver, self.epoch)
+        n_images = 0
+        t0 = time.perf_counter()
+        loss_val = None
+        for bi, (x, y) in enumerate(batches):
+            x = jax.device_put(jnp.asarray(x), self._data_sharding)
+            y = jax.device_put(jnp.asarray(y), self._data_sharding)
+            with self.mesh:
+                self.params, self.momentum, loss_val = self._train_step(
+                    self.params, self.momentum, x, y, lr)
+            n_images += x.shape[0]
+            self.step += 1
+            if verbose and bi % log_every == 0:
+                print(f"epoch {self.epoch} batch {bi} "
+                      f"loss {float(loss_val):.4f} lr {lr:.5f}")
+        jax.block_until_ready(loss_val)
+        dt = time.perf_counter() - t0
+        ips = n_images / dt
+        if verbose:
+            print(f"epoch {self.epoch}: {ips:.1f} images/s "
+                  f"({n_images} images, {dt:.2f}s)")  # Engine.cpp:600 analog
+        self.epoch += 1
+        if self.checkpoint_dir:
+            self.checkpoint()
+        return {"images_per_s": ips, "loss": float(loss_val), "lr": lr}
+
+    def validate(self, batches) -> Dict[str, float]:
+        losses, accs = [], []
+        for x, y in batches:
+            x = jax.device_put(jnp.asarray(x), self._data_sharding)
+            y = jax.device_put(jnp.asarray(y), self._data_sharding)
+            with self.mesh:
+                l, a = self._eval_step(self.params, x, y)
+            losses.append(float(l))
+            accs.append(float(a))
+        return {"loss": float(np.mean(losses)), "acc": float(np.mean(accs))}
+
+    # -- checkpoint / resume (Engine.cpp:245-365, 488-500 analog) --------------
+    def checkpoint(self, tag: Optional[str] = None):
+        d = self.checkpoint_dir
+        assert d, "no checkpoint_dir configured"
+        os.makedirs(d, exist_ok=True)
+        tag = tag or "latest"
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
+        arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+        np.savez(os.path.join(d, f"params_{tag}.npz"), **arrays)
+        mflat, _ = jax.tree_util.tree_flatten_with_path(self.momentum)
+        np.savez(os.path.join(d, f"momentum_{tag}.npz"),
+                 **{jax.tree_util.keystr(k): np.asarray(v) for k, v in mflat})
+        with open(os.path.join(d, f"meta_{tag}.json"), "w") as f:
+            json.dump({"epoch": self.epoch, "step": self.step,
+                       "lr": _schedule(self.solver, self.epoch)}, f)
+
+    def resume(self, tag: str = "latest") -> bool:
+        d = self.checkpoint_dir
+        meta_p = os.path.join(d or "", f"meta_{tag}.json")
+        if not d or not os.path.exists(meta_p):
+            return False
+        with open(meta_p) as f:
+            meta = json.load(f)
+        self.epoch = meta["epoch"]
+        self.step = meta["step"]
+        pz = np.load(os.path.join(d, f"params_{tag}.npz"))
+        mz = np.load(os.path.join(d, f"momentum_{tag}.npz"))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
+        new = [jnp.asarray(pz[jax.tree_util.keystr(k)]) for k, _ in flat]
+        self.params = jax.tree_util.tree_unflatten(treedef, new)
+        mflat, mtree = jax.tree_util.tree_flatten_with_path(self.momentum)
+        self.momentum = jax.tree_util.tree_unflatten(
+            mtree, [jnp.asarray(mz[jax.tree_util.keystr(k)])
+                    for k, _ in mflat])
+        return True
+
+
+def synthetic_batches(n_batches: int, batch: int, hw: int = 32,
+                      classes: int = 10, seed: int = 0):
+    """Synthetic data pipeline (LMDB-free input analog)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        yield (rng.standard_normal((batch, hw, hw, 3)).astype(np.float32),
+               rng.integers(0, classes, (batch,)).astype(np.int32))
