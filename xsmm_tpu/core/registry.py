@@ -27,22 +27,16 @@ from .config import get_config
 # Optional native backend (C++ CRC32C open-addressing table; see
 # native/registry.cpp).  Falls back to pure Python transparently.
 # ---------------------------------------------------------------------------
-_native = None
 
 
-def _load_native():
-    global _native
-    if _native is not None:
-        return _native
+def _make_native(capacity: int):
     if not get_config().use_native:
-        _native = False
-        return _native
+        return None
     try:
         from . import native_bridge
-        _native = native_bridge.load()
+        return native_bridge.load(capacity)
     except Exception:
-        _native = False
-    return _native
+        return None
 
 
 class Stats:
@@ -114,11 +108,13 @@ class Registry:
         cfg = get_config()
         self.capacity = capacity or cfg.registry_capacity
         self._table: Dict[bytes, RegistryEntry] = {}
-        self._entries: List[RegistryEntry] = []     # slot-indexed, for native
+        self._entries: List[Optional[RegistryEntry]] = []  # slot-indexed
         self._build_lock = threading.Lock()
         self._tls = threading.local()
         self.stats = Stats()
-        self._native = None
+        # Native C++ CRC32C probe table as the fast index; the Python dict
+        # stays authoritative (release/introspection).  None => pure Python.
+        self._native = _make_native(self.capacity)
         self._finalized = False
 
     # -- MRU per-thread cache (reference: TLS cache, libxsmm_main.c:1704-1732)
@@ -151,16 +147,11 @@ class Registry:
         if e is not None:
             self.stats.ncache_hit += 1
             return e
-        nat = self._native if self._native is not None else _load_native()
-        self._native = nat
-        if nat:
-            slot = nat.find(key)
-            if slot >= 0:
-                e = self._entries[slot]
-                self._cache_insert(key, e)
-                return e
-            return None
-        e = self._table.get(key)
+        if self._native is not None:
+            slot = self._native.find(key)
+            e = self._entries[slot] if slot >= 0 else None
+        else:
+            e = self._table.get(key)
         if e is not None:
             self._cache_insert(key, e)
         return e
@@ -168,25 +159,18 @@ class Registry:
     def insert(self, key: bytes, entry: RegistryEntry) -> RegistryEntry:
         """Insert under the build lock; first writer wins (double-checked)."""
         with self._build_lock:
-            nat = self._native if self._native is not None else _load_native()
-            if nat:
-                slot = nat.find(key)
-                if slot >= 0:
-                    return self._entries[slot]
-                if len(self._entries) >= self.capacity:
-                    raise RuntimeError("xsmm_tpu registry capacity exhausted")
-                slot = nat.insert(key, len(self._entries))
-                if slot != len(self._entries):   # raced: someone else inserted
-                    return self._entries[slot]
-                self._entries.append(entry)
-            else:
-                existing = self._table.get(key)
-                if existing is not None:
-                    return existing
-                if len(self._table) >= self.capacity:
-                    raise RuntimeError("xsmm_tpu registry capacity exhausted")
-                self._table[key] = entry
-                self._entries.append(entry)
+            existing = self._table.get(key)
+            if existing is not None:
+                return existing
+            if len(self._table) >= self.capacity:
+                raise RuntimeError("xsmm_tpu registry capacity exhausted")
+            self._table[key] = entry
+            self._entries.append(entry)
+            if self._native is not None:
+                slot = self._native.insert(key, len(self._entries) - 1)
+                if slot != len(self._entries) - 1:
+                    # stale tombstone slot from a released key: repoint it
+                    self._entries[slot] = entry
             self._cache_insert(key, entry)
             return entry
 
@@ -196,17 +180,14 @@ class Registry:
 
         ``builder`` is invoked at most once per descriptor per process; its
         result (a compiled callable) is cached forever, so the hot path is a
-        dict/MRU probe — no retracing, no jit cache misses mid-loop.
+        native-hash/MRU probe — no retracing, no jit cache misses mid-loop.
         """
         key = descriptor.pack()
         entry = self.lookup(key)
         jit = False
         if entry is None:
             with self._build_lock:
-                entry = self._table.get(key) if not self._native else None
-                if self._native:
-                    slot = self._native.find(key)
-                    entry = self._entries[slot] if slot >= 0 else None
+                entry = self._table.get(key)
                 if entry is None:
                     jit = True
             if jit:
@@ -225,17 +206,22 @@ class Registry:
         key = descriptor.pack()
         with self._build_lock:
             e = self._table.pop(key, None)
-            if e is not None and e in self._entries:
-                self._entries.remove(e)
-            # native table entries are tombstone-free by design; clear MRU
-            self._tls = threading.local()
+            if e is not None:
+                # tombstone the slot (native keys are not removable; the
+                # slot is repointed on re-insert of the same key)
+                for i, ent in enumerate(self._entries):
+                    if ent is e:
+                        self._entries[i] = None
+                        break
+            self._tls = threading.local()  # drop MRU references
             return e is not None
 
     def info(self) -> Dict[str, int]:
         """Analog of libxsmm_get_registry_info (libxsmm_main.c:2092)."""
         return {
             "capacity": self.capacity,
-            "size": len(self._entries),
+            "size": len(self._table),
+            "native": self._native is not None,
             "ntry": self.stats.ntry,
             "njit": self.stats.njit,
             "nsta": self.stats.nsta,
@@ -247,7 +233,7 @@ class Registry:
         with self._build_lock:
             self._table.clear()
             self._entries.clear()
-            if self._native:
+            if self._native is not None:
                 self._native.clear()
             self._tls = threading.local()
 

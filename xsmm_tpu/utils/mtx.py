@@ -93,9 +93,17 @@ class Csc:
 def read_mtx(path: str) -> np.ndarray:
     """Read a MatrixMarket file to a dense numpy array.
 
-    Supports coordinate (sparse) and array (dense) formats, real/integer
-    fields, general/symmetric symmetry.
+    Coordinate files parse through the native C++ reader when built
+    (native/mtx.cpp); the Python path handles array format and acts as the
+    fallback.  Supports real/integer/pattern fields, general/symmetric.
     """
+    try:
+        from ..core import native_bridge
+        a = native_bridge.read_mtx_native(path)
+        if a is not None:
+            return a
+    except Exception:
+        pass
     with open(path) as f:
         header = f.readline()
         if not header.startswith("%%MatrixMarket"):
