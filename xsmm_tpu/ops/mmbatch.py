@@ -1,0 +1,118 @@
+"""Batched GEMM frontends and the call-recording interceptor.
+
+Reference: libxsmm_mmbatch / libxsmm_gemm_batch (src/libxsmm_gemm.c:1809,
+1878) execute arrays of same-shape GEMMs through one dispatched kernel; the
+BLAS interception wrapper (__wrap_dgemm, libxsmm_ext_gemm.c:314) reroutes
+existing BLAS calls, and libxsmm_mmbatch_begin/end records calls into a
+batch buffer for replay (template/libxsmm.h:251-257).
+
+TPU-native: gemm_batch stacks the operand list and routes through the
+lane-packed batched SMM (small shapes) or one XLA batched matmul; the
+interception analog monkeypatches jnp.matmul inside a context manager —
+existing JAX code runs unmodified while calls are recorded (and optionally
+rerouted through the dispatch cache), mirroring the link-time --wrap trick
+at the Python level.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import threading
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import get_config
+from .smm import mmdispatch
+
+
+def mmbatch(kernel, a_array, b_array, c_array=None):
+    """Execute one dispatched kernel over stacked operands
+    (libxsmm_mmbatch analog: same descriptor, many operand triplets)."""
+    if c_array is not None:
+        return kernel(a_array, b_array, c_array)
+    return kernel(a_array, b_array)
+
+
+def gemm_batch(a_list, b_list, c_list=None, *, beta: float = 0.0):
+    """libxsmm_gemm_batch analog: list/stack of same-shape GEMMs."""
+    a = jnp.stack([jnp.asarray(x) for x in a_list]) \
+        if isinstance(a_list, (list, tuple)) else jnp.asarray(a_list)
+    b = jnp.stack([jnp.asarray(x) for x in b_list]) \
+        if isinstance(b_list, (list, tuple)) else jnp.asarray(b_list)
+    nb, m, k = a.shape
+    n = b.shape[-1]
+    kern = mmdispatch(m, n, k, in_dtype=str(a.dtype), batch=nb, beta=beta)
+    if beta:
+        c = jnp.stack([jnp.asarray(x) for x in c_list]) \
+            if isinstance(c_list, (list, tuple)) else jnp.asarray(c_list)
+        return kern(a, b, c)
+    return kern(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Interception (the __wrap_dgemm / mmbatch_begin-end analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RecordedCall:
+    m: int
+    n: int
+    k: int
+    batch: int
+    dtype: str
+
+
+class _Recorder(threading.local):
+    def __init__(self):
+        self.active: List[RecordedCall] = []
+        self.depth = 0
+
+
+_recorder = _Recorder()
+
+
+@contextlib.contextmanager
+def mmbatch_begin(record_only: bool = True):
+    """Intercept jnp.matmul calls within the context.
+
+    Yields the list of RecordedCall entries (filled as calls happen).
+    ``record_only=False`` additionally reroutes eligible 3-D batched small
+    matmuls through the dispatch cache (the wrap behavior); 2-D and large
+    calls always pass through.
+    """
+    calls: List[RecordedCall] = []
+    orig = jnp.matmul
+    threshold = get_config().gemm_threshold
+
+    def wrapped(a, b, **kw):
+        try:
+            ash, bsh = np.shape(a), np.shape(b)
+            if len(ash) >= 2 and len(bsh) >= 2:
+                m, k = ash[-2], ash[-1]
+                n = bsh[-1]
+                batch = int(np.prod(ash[:-2])) if len(ash) > 2 else 1
+                calls.append(RecordedCall(m, n, k, batch,
+                                          str(jnp.result_type(a, b))))
+                if (not record_only and len(ash) == 3 and len(bsh) == 3
+                        and m * n * k <= threshold and not kw):
+                    kern = mmdispatch(m, n, k, in_dtype=str(a.dtype),
+                                      batch=batch, beta=0.0)
+                    return kern(a, b)
+        except Exception:
+            pass
+        return orig(a, b, **kw)
+
+    jnp.matmul = wrapped
+    try:
+        yield calls
+    finally:
+        jnp.matmul = orig
+
+
+def mmbatch_end():  # parity shim: the context manager form is canonical
+    raise RuntimeError("use `with mmbatch_begin() as calls:` on TPU")
