@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""LSTM cell driver (samples/deeplearning/lstmdriver analog).
+
+  python samples/lstm_driver.py [N C K T]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from _common import measure
+import xsmm_tpu as xt
+from xsmm_tpu.dnn import CellType, RnnDesc, create_rnncell
+
+
+def main():
+    a = [int(x) for x in sys.argv[1:]]
+    n, c, k, t = a[:4] if len(a) >= 4 else \
+        ((128, 512, 512, 32) if xt.platform.is_tpu() else (8, 32, 32, 4))
+    d = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.LSTM)
+    cell = create_rnncell(d)
+    key = jax.random.PRNGKey(0)
+    xt_ = jax.random.normal(key, (t, n, c), jnp.float32)
+    w = jax.random.normal(key, (c, 4 * k), jnp.float32) * 0.1
+    r = jax.random.normal(key, (k, 4 * k), jnp.float32) * 0.1
+    b = jnp.zeros((4 * k,), jnp.float32)
+    h0 = jnp.zeros((n, k), jnp.float32)
+    c0 = jnp.zeros((n, k), jnp.float32)
+    flops = 2.0 * t * n * (c + k) * 4 * k   # the two gate GEMMs per step
+    measure(cell._fwd, xt_, w, r, b, h0, c0, flops=flops,
+            label=f"lstm fwd N{n} C{c} K{k} T{t}")
+    dhs = jax.random.normal(key, (t, n, k), jnp.float32)
+    measure(cell._bwd, xt_, w, r, b, h0, c0, dhs, flops=3 * flops,
+            label="lstm bwd+upd")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Packed batched LA driver (samples/packed analogs): pgemm/getrf/trsm/trmm.
+
+  python samples/packed_driver.py [m] [batch]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import measure
+import xsmm_tpu as xt
+from xsmm_tpu.ops import packed
+
+
+def main():
+    a = sys.argv[1:]
+    m = int(a[0]) if a else 16
+    batch = int(a[1]) if len(a) > 1 else (8192 if xt.platform.is_tpu() else 256)
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((batch, m, m)).astype(np.float32)
+    for i in range(m):
+        A[:, i, i] += m
+    B = rng.standard_normal((batch, m, m)).astype(np.float32)
+
+    # pgemm
+    kern = packed.pgemm_dispatch(m, m, m, batch=batch)
+    Aj, Bj = jnp.asarray(A), jnp.asarray(B)
+    if isinstance(kern, xt.BatchedSMM):
+        measure(kern._packed_fn, kern.pack_a(Aj), kern.pack_b(Bj),
+                flops=2 * m ** 3 * batch, label=f"pgemm {m}^3 b{batch}",
+                probe="elem")
+    # getrf
+    kg = packed.getrf_dispatch(m, m, batch=batch)
+    lu = np.asarray(kg(A), np.float64)
+    l = np.tril(lu, -1) + np.eye(m)
+    xt.check(A, l @ np.triu(lu), 1e-3, what="getrf")
+    ap = jnp.asarray(np.transpose(A, (1, 2, 0)).copy())
+    measure(kg._packed_fn, ap, flops=int(2 / 3 * m ** 3) * batch,
+            label=f"getrf {m}x{m} b{batch}", probe="elem")
+    # trsm
+    kt = packed.trsm_dispatch(m, m, batch=batch)
+    x = np.asarray(kt(A, B), np.float64)
+    xt.check(B, np.tril(A.astype(np.float64)) @ x, 1e-3, what="trsm")
+    measure(kt._fn, Aj, Bj, flops=m ** 3 * batch,
+            label=f"trsm L {m}x{m} b{batch}", probe="elem")
+    # trmm
+    km = packed.trmm_dispatch(m, m, batch=batch)
+    measure(km._fn, Aj, Bj, flops=m ** 3 * batch,
+            label=f"trmm L {m}x{m} b{batch}")
+
+
+if __name__ == "__main__":
+    main()
