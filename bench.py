@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import xsmm_tpu as xt
 from xsmm_tpu.utils.timer import device_bench
 
+xt.enable_compile_cache()
+
 # Per-chip HBM bandwidth (bytes/s) by device kind.
 HBM_BW = {
     "TPU v5 lite": 819e9,   # v5e

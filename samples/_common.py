@@ -12,6 +12,8 @@ import numpy as np
 import xsmm_tpu as xt
 from xsmm_tpu.utils.timer import device_bench
 
+xt.enable_compile_cache()
+
 
 def measure(fn, *args, flops=0, nbytes=0, label="", probe="sum"):
     if xt.platform.is_tpu():

@@ -46,6 +46,13 @@ def main():
                    for i in range(4)]
             measure(kern64._packed_fn, *ops, flops=flops, nbytes=2 * nbytes,
                     label=f"f64 {m}x{n}x{k} b{batch}", probe="elem")
+        else:
+            ops = [jax.random.normal(jax.random.PRNGKey(i),
+                                     (batch, m, k) if i < 2 else (batch, k, n),
+                                     jnp.float32) * (1e-8 if i % 2 else 1.0)
+                   for i in range(4)]
+            measure(kern64._fn_split2, *ops, flops=flops, nbytes=2 * nbytes,
+                    label=f"f64/xla {m}x{n}x{k} b{batch}")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,8 @@ parameterized Pallas kernels compiled by Mosaic/XLA, cached forever in a
 descriptor-keyed registry (the internal_find_code analog).
 """
 
+import os
+
 from .core.config import Config, get_config, set_config, set_verbosity
 from .core.descriptors import (
     GemmDescriptor, GemmFlags, MatcopyDescriptor, PackedDescriptor, Prefetch,
@@ -44,15 +46,38 @@ from .utils import mathx, mhd, rng, scratch, timer, trace
 __version__ = "0.1.0"
 
 
+def enable_compile_cache(path: str = "") -> str:
+    """Arm JAX's persistent compilation cache.
+
+    The analog of the reference's build-time static kernel specialization
+    (MNK= make key, Makefile:674-700) combined with its forever-lived JIT
+    registry: once a descriptor's kernel is compiled on a machine, later
+    processes load the binary instead of re-running Mosaic/XLA — this is
+    what amortizes the trace-unrolled sparse kernels' compile cost.
+    """
+    import jax
+
+    path = path or os.environ.get("XSMM_CACHE_DIR",
+                                  os.path.expanduser("~/.xsmm_tpu_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
+
+
 def init():
     """Analog of libxsmm_init (libxsmm_main.c:708): eager bring-up.
 
-    Reads env config, creates the registry, and AOT-compiles any shapes
-    listed in XSMM_AOT_SHAPES ("MxNxK[:dtype][:batch],...") — the analog of
-    build-time MNK= static specialization (Makefile:674-700).
+    Reads env config, creates the registry, arms the persistent compilation
+    cache, and AOT-compiles any shapes listed in XSMM_AOT_SHAPES
+    ("MxNxK[:dtype][:batch],...") — the analog of build-time MNK= static
+    specialization (Makefile:674-700).
     """
     cfg = get_config()
     reg = get_registry()
+    try:
+        enable_compile_cache()
+    except Exception:
+        pass
     if cfg.aot_shapes:
         for spec in cfg.aot_shapes.split(","):
             spec = spec.strip()
