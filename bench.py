@@ -43,15 +43,19 @@ def main():
 
     kern = xt.dmmdispatch(m, n, k, batch=batch, beta=0.0)
     key = jax.random.PRNGKey(0)
-    # device-resident operands in the packed layout (hi/lo f32 pairs)
-    ah = jax.random.normal(key, (k, m, batch), jnp.float32)
+    # device-resident operands in the packed layout (hi/lo f32 pairs);
+    # A is m-leading [M,K,B], B is k-leading [K,N,B] (ops/smm.py)
+    ah = jax.random.normal(key, (m, k, batch), jnp.float32)
     al = ah * 1e-8
     bh = jax.random.normal(jax.random.PRNGKey(1), (k, n, batch), jnp.float32)
     bl = bh * 1e-8
 
     if on_tpu:
+        # probe="elem": the kernel is an XLA-opaque custom call, so a
+        # single-element feedback is a safe dependency; the default "sum"
+        # probe would re-read the full output each iteration (+33% bytes).
         dt = device_bench(kern._packed_fn, ah, al, bh, bl,
-                          iters=40, base_iters=8)
+                          iters=40, base_iters=8, probe="elem")
     else:
         dt, _ = xt.timer.bench(kern._packed_fn, ah, al, bh, bl,
                                warmup=1, iters=3)

@@ -28,7 +28,8 @@ def main():
         nbytes = (m * k + k * n + m * n) * batch * 4
         kern = xt.smmdispatch(m, n, k, batch=batch, beta=0.0)
         if isinstance(kern, xt.BatchedSMM):
-            a = jax.random.normal(key, (k, m, batch), jnp.float32)
+            # packed layouts: A m-leading [M,K,B], B k-leading [K,N,B]
+            a = jax.random.normal(key, (m, k, batch), jnp.float32)
             b = jax.random.normal(key, (k, n, batch), jnp.float32)
             measure(kern._packed_fn, a, b, flops=flops, nbytes=nbytes,
                     label=f"f32 {m}x{n}x{k} b{batch}", probe="elem")
@@ -41,7 +42,7 @@ def main():
         kern64 = xt.dmmdispatch(m, n, k, batch=batch, beta=0.0)
         if isinstance(kern64, xt.BatchedSMM):
             ops = [jax.random.normal(jax.random.PRNGKey(i),
-                                     (k, m, batch) if i < 2 else (k, n, batch),
+                                     (m, k, batch) if i < 2 else (k, n, batch),
                                      jnp.float32) * (1e-8 if i % 2 else 1.0)
                    for i in range(4)]
             measure(kern64._packed_fn, *ops, flops=flops, nbytes=2 * nbytes,
