@@ -3,7 +3,8 @@
 
   python samples/gxm_train.py [model] [epochs] [batch] [--ckpt DIR]
 
-model in {resnet18, resnet50, alexnet}. Uses the synthetic input pipeline;
+model in {resnet18, resnet50, alexnet, inception}. Uses the synthetic input
+pipeline;
 prints images/s per epoch (Engine.cpp:600 analog), checkpoints per epoch
 when --ckpt is given, and resumes automatically from an existing checkpoint.
 """
@@ -12,8 +13,8 @@ import sys
 
 from _common import measure  # noqa: F401  (path setup)
 import xsmm_tpu as xt
-from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, resnet,
-                             synthetic_batches)
+from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, inception_v3,
+                             resnet, synthetic_batches)
 
 
 def main():
@@ -29,6 +30,10 @@ def main():
     if model == "alexnet":
         params, fwd = alexnet(num_classes=100)
         hw = 64
+    elif model == "inception":
+        params, fwd = inception_v3(
+            num_classes=100, width=32 if xt.platform.is_tpu() else 8)
+        hw = 128 if xt.platform.is_tpu() else 64
     else:
         depth = int(model.replace("resnet", "") or 18)
         params, fwd = resnet(depth=depth, num_classes=100,

@@ -8,8 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, resnet,
-                             synthetic_batches)
+from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, inception_v3,
+                             resnet, synthetic_batches)
 from xsmm_tpu.models.engine import _schedule
 from xsmm_tpu.parallel.mesh import make_mesh
 
@@ -36,6 +36,30 @@ def test_alexnet_forward():
     params, fwd = alexnet(num_classes=10)
     logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
     assert logits.shape == (2, 10)
+
+
+def test_inception_v3_forward():
+    params, fwd = inception_v3(num_classes=10, width=8)
+    # topology check: stem + 3A + RA + 4B + RB + 2C = 11 blocks
+    assert len(params["blocks"]) == 11
+    logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 10)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_inception_v3_trains():
+    params, fwd = inception_v3(num_classes=10, width=8)
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.05, lr_policy="fixed"),
+                   mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (8,)).astype(np.int32)
+    losses = []
+    for _ in range(3):
+        out = eng.train_epoch(iter([(x, y)]), verbose=False)
+        losses.append(out["loss"])
+    assert losses[-1] < losses[0], losses
 
 
 def test_lr_schedules():
