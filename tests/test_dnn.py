@@ -56,6 +56,28 @@ def test_conv_fused_bias_relu(rng):
     assert (y >= 0).all()
 
 
+def test_conv_relu_bwd_fusion(rng):
+    d = ConvDesc(n=2, c=4, h=6, w=6, k=8, r=3, s=3, pad_h=1, pad_w=1,
+                 fuse_ops=FuseOp.RELU | FuseOp.RELU_BWD)
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 6, 6, 4)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, 4, 8)).astype(np.float32) * 0.2
+    dy = rng.standard_normal((2, 6, 6, 8)).astype(np.float32)
+
+    y = np.asarray(layer.forward(x, wt))
+    dx = np.asarray(layer.backward(dy, wt, y))
+
+    # gold: autodiff through conv+relu
+    def f(x_):
+        out = conv_gold(x_, wt, (1, 1), (1, 1))
+        return jnp.maximum(out, 0.0)
+    _, vjp = jax.vjp(f, jnp.asarray(x, jnp.float64))
+    gold = np.asarray(vjp(jnp.asarray(dy, jnp.float64))[0])
+    xt.check(gold, dx, TOL, what="conv relu_bwd fusion")
+    with pytest.raises(ValueError):
+        layer.backward(dy, wt)  # y is required with RELU_BWD
+
+
 def test_conv_batch_stats(rng):
     d = ConvDesc(n=2, c=3, h=5, w=5, k=6, r=1, s=1,
                  fuse_ops=FuseOp.BATCH_STATS_FWD)

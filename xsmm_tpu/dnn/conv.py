@@ -35,6 +35,15 @@ from .types import ConvDesc, Format, FuseOp, Kind
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _prec(dt):
+    """f32 convs must force HIGHEST on the MXU (default = one bf16 pass,
+    rel err ~1e-2 — outside the 1e-3 gate, tests/gemm.c:224); bf16 inputs
+    keep the native pass.  Same rule as ops/smm._mxu_precision."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dt) in (jnp.dtype(jnp.float32),
+                                 jnp.dtype(jnp.float64)) else None)
+
+
 class BatchStats(NamedTuple):
     """Per-channel sums produced by BATCH_STATS_FWD fusion."""
 
@@ -85,7 +94,7 @@ class ConvLayer:
         w = _to_hwio(w.astype(jnp.dtype(d.in_dtype)), d.filter_format)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=self._strides, padding=self._pad,
-            dimension_numbers=_DN,
+            dimension_numbers=_DN, precision=_prec(d.in_dtype),
             preferred_element_type=jnp.float32)
         if d.fuse_ops & FuseOp.BIAS:
             if bias is None:
@@ -115,11 +124,17 @@ class ConvLayer:
     def _plain_conv(self, x, w):
         return jax.lax.conv_general_dilated(
             x, w, window_strides=self._strides, padding=self._pad,
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+            dimension_numbers=_DN, precision=_prec(self.desc.in_dtype),
+            preferred_element_type=jnp.float32)
 
-    def _bwd_impl(self, dy, w):
+    def _bwd_impl(self, dy, w, y=None):
         d = self.desc
         dy = _to_nhwc(dy.astype(jnp.float32), d.buffer_format)
+        if y is not None:
+            # RELU_BWD fusion: mask incoming grads by the forward activation
+            # before the transposed conv (fused ReLU-bwd templates analog)
+            y = _to_nhwc(y, d.buffer_format)
+            dy = jnp.where(y > 0, dy, 0.0)
         w = _to_hwio(w.astype(jnp.float32), d.filter_format)
         x0 = jnp.zeros((d.n, d.h, d.w, d.c), jnp.float32)
         _, vjp = jax.vjp(lambda x_: self._plain_conv(x_, w), x0)
@@ -128,6 +143,11 @@ class ConvLayer:
 
     def backward(self, dy, w, y=None):
         """dx; pass y with RELU_BWD fusion to mask by the activation."""
+        if self.desc.fuse_ops & FuseOp.RELU_BWD:
+            if y is None:
+                raise ValueError("RELU_BWD fusion requires the forward "
+                                 "activation y")
+            return self._bwd(dy, w, y)
         return self._bwd(dy, w)
 
     def _upd_impl(self, x, dy):
@@ -149,7 +169,8 @@ class ConvLayer:
             return self.forward(tensors["input"], tensors["filter"],
                                 tensors.get("bias"))
         if kind == Kind.BWD:
-            return self.backward(tensors["grad_output"], tensors["filter"])
+            return self.backward(tensors["grad_output"], tensors["filter"],
+                                 tensors.get("output"))
         if kind == Kind.UPD:
             return self.weight_update(tensors["input"],
                                       tensors["grad_output"])
