@@ -100,12 +100,18 @@ def test_threadsafety():
     assert reg.info()["size"] == 10
 
 
-def test_capacity_exhaustion():
+def test_capacity_exhaustion_degrades():
+    """A full registry yields uncached kernels, not an error (the
+    reference degrades the same way, libxsmm_main.c:1880-1890)."""
     reg = Registry(capacity=4)
     for m in range(1, 5):
         reg.dispatch(_desc(m=m), lambda: "k")
-    with pytest.raises(RuntimeError):
-        reg.dispatch(_desc(m=99), lambda: "k")
+    col0 = reg.stats.ncol
+    assert reg.dispatch(_desc(m=99), lambda: "uncached") == "uncached"
+    assert reg.info()["size"] == 4          # table did not grow
+    assert reg.stats.ncol > col0            # overflow recorded as collision
+    # and the overflow descriptor builds again on re-dispatch
+    assert reg.dispatch(_desc(m=99), lambda: "rebuilt") == "rebuilt"
 
 
 def test_release():

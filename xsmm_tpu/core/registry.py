@@ -159,20 +159,30 @@ class Registry:
     def insert(self, key: bytes, entry: RegistryEntry) -> RegistryEntry:
         """Insert under the build lock; first writer wins (double-checked)."""
         with self._build_lock:
-            existing = self._table.get(key)
-            if existing is not None:
-                return existing
-            if len(self._table) >= self.capacity:
-                raise RuntimeError("xsmm_tpu registry capacity exhausted")
-            self._table[key] = entry
-            self._entries.append(entry)
-            if self._native is not None:
-                slot = self._native.insert(key, len(self._entries) - 1)
-                if slot != len(self._entries) - 1:
-                    # stale tombstone slot from a released key: repoint it
-                    self._entries[slot] = entry
-            self._cache_insert(key, entry)
+            return self._insert_locked(key, entry)
+
+    def _insert_locked(self, key: bytes, entry: RegistryEntry) -> RegistryEntry:
+        existing = self._table.get(key)
+        if existing is not None:
+            return existing
+        if len(self._table) >= self.capacity:
+            # Degrade like the reference (libxsmm_main.c:1880-1890): a full
+            # registry yields an uncached kernel, not an error.
+            self.stats.ncol += 1
+            if get_config().verbose:
+                import warnings
+                warnings.warn("xsmm_tpu registry capacity exhausted; "
+                              "kernel not cached")
             return entry
+        self._table[key] = entry
+        self._entries.append(entry)
+        if self._native is not None:
+            slot = self._native.insert(key, len(self._entries) - 1)
+            if slot != len(self._entries) - 1:
+                # stale tombstone slot from a released key: repoint it
+                self._entries[slot] = entry
+        self._cache_insert(key, entry)
+        return entry
 
     def dispatch(self, descriptor, builder: Callable[[], Callable],
                  name: str = "", static: bool = False) -> Callable:
@@ -186,13 +196,17 @@ class Registry:
         entry = self.lookup(key)
         jit = False
         if entry is None:
+            # Hold the build lock across the build itself so each descriptor
+            # is built exactly once (reference: INTERNAL_FIND_CODE_LOCK
+            # around libxsmm_build, libxsmm_main.c:1822-1857).  builder()
+            # only constructs the callable; device compilation stays lazy.
             with self._build_lock:
                 entry = self._table.get(key)
                 if entry is None:
                     jit = True
-            if jit:
-                kernel = builder()
-                entry = self.insert(key, RegistryEntry(kernel, descriptor, name))
+                    kernel = builder()
+                    entry = self._insert_locked(
+                        key, RegistryEntry(kernel, descriptor, name))
         m = getattr(descriptor, "m", 1)
         n = getattr(descriptor, "n", 1)
         k = getattr(descriptor, "k", 1)
