@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """End-to-end training CLI — the GxM sample analog.
 
-  python samples/gxm_train.py [model] [epochs] [batch] [--ckpt DIR]
+  python samples/gxm_train.py [model] [epochs] [batch] [--ckpt DIR] \
+      [--data FILE.xsd]
 
-model in {resnet18, resnet50, alexnet, inception}. Uses the synthetic input
+model in {resnet18, resnet50, alexnet, inception}. Trains from a packed
+XSD1 dataset via the native prefetching loader when --data is given
+(utils/dataset.py, the GxM LMDB data-layer analog), else the synthetic
 pipeline;
 prints images/s per epoch (Engine.cpp:600 analog), checkpoints per epoch
 when --ckpt is given, and resumes automatically from an existing checkpoint.
@@ -18,10 +21,17 @@ from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, inception_v3,
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ckpt = None
+    flagvals = set()
+    for flag in ("--ckpt", "--data"):
+        if flag in sys.argv:
+            flagvals.add(sys.argv[sys.argv.index(flag) + 1])
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--") and a not in flagvals]
+    ckpt = data = None
     if "--ckpt" in sys.argv:
         ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
+    if "--data" in sys.argv:
+        data = sys.argv[sys.argv.index("--data") + 1]
     model = args[0] if args else "resnet18"
     epochs = int(args[1]) if len(args) > 1 else 2
     batch = int(args[2]) if len(args) > 2 else \
@@ -47,8 +57,14 @@ def main():
 
     batches_per_epoch = 20
     while eng.epoch < epochs:
-        eng.train_epoch(synthetic_batches(batches_per_epoch, batch, hw=hw,
-                                          classes=100, seed=eng.epoch))
+        if data:
+            from xsmm_tpu.utils.dataset import DataLoader
+            train_iter = iter(DataLoader(data, batch=batch, epochs=1,
+                                         seed=eng.epoch))
+        else:
+            train_iter = synthetic_batches(batches_per_epoch, batch, hw=hw,
+                                           classes=100, seed=eng.epoch)
+        eng.train_epoch(train_iter)
         metrics = eng.validate(synthetic_batches(4, batch, hw=hw,
                                                  classes=100, seed=999))
         print(f"validation: loss={metrics['loss']:.4f} acc={metrics['acc']:.3f}")

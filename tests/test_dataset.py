@@ -1,0 +1,86 @@
+"""Packed-dataset + native prefetching loader tests (GxM data-layer analog)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from xsmm_tpu.utils.dataset import DataLoader, write_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(7)
+    n, h, w, c = 100, 6, 6, 3
+    imgs = rng.integers(0, 256, (n, h, w, c), dtype=np.uint8)
+    labels = rng.integers(0, 5, (n,)).astype(np.int32)
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "ds.xsd")
+    write_dataset(path, imgs, labels)
+    return path, imgs, labels
+
+
+def _record_ids(imgs, batches):
+    """Map each yielded image back to its dataset index."""
+    flat = imgs.reshape(imgs.shape[0], -1)
+    ids = []
+    for x, _ in batches:
+        raw = np.round((x + 0.5) * 255).astype(np.uint8)
+        raw = raw.reshape(raw.shape[0], -1)
+        for row in raw:
+            hit = np.nonzero((flat == row).all(axis=1))[0]
+            assert hit.size >= 1
+            ids.append(int(hit[0]))
+    return ids
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_loader_shapes_and_values(dataset, native):
+    path, imgs, labels = dataset
+    dl = DataLoader(path, batch=16, epochs=1, native=native)
+    if native and dl._lib is None:
+        pytest.skip("native library unavailable")
+    batches = list(dl)
+    assert len(batches) == 100 // 16
+    for x, y in batches:
+        assert x.shape == (16, 6, 6, 3) and x.dtype == np.float32
+        assert y.shape == (16,) and y.dtype == np.int32
+        assert float(x.min()) >= -0.5 and float(x.max()) <= 0.5
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_epoch_shuffled_coverage(dataset, native):
+    """Each epoch draws batch*nbatches distinct records, in shuffled order."""
+    path, imgs, labels = dataset
+    dl = DataLoader(path, batch=20, epochs=2, native=native)
+    if native and dl._lib is None:
+        pytest.skip("native library unavailable")
+    batches = list(dl)
+    assert len(batches) == 2 * 5
+    ids = _record_ids(imgs, batches)
+    ep1, ep2 = ids[:100], ids[100:]
+    assert len(set(ep1)) == 100 and len(set(ep2)) == 100  # full coverage
+    assert ep1 != list(range(100))                        # actually shuffled
+    assert ep1 != ep2                                     # per-epoch reshuffle
+
+
+def test_labels_match_images(dataset):
+    path, imgs, labels = dataset
+    dl = DataLoader(path, batch=10, epochs=1)
+    batches = list(dl)
+    ids = _record_ids(imgs, batches)
+    got = np.concatenate([y for _, y in batches])
+    np.testing.assert_array_equal(got, labels[ids])
+
+
+def test_engine_integration(dataset):
+    from xsmm_tpu.models import MLEngine, SolverConfig, resnet
+    from xsmm_tpu.parallel.mesh import make_mesh
+    path, _, _ = dataset
+    params, fwd = resnet(depth=18, num_classes=5, width=8)
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.01),
+                   mesh=make_mesh((8, 1), ("dp", "mp")))
+    out = eng.train_epoch(iter(DataLoader(path, batch=16, epochs=1)),
+                          verbose=False)
+    assert np.isfinite(out["loss"])
