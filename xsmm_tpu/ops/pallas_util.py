@@ -21,6 +21,15 @@ def pallas_call(*args, **kwargs):
     On non-TPU backends kernels run in the Pallas interpreter — the analog of
     the reference's plain-C ``noarch`` fallback (generator_gemm_noarch.c),
     giving a functional path on any machine for validation.
+
+    IMPORTANT perf note (measured on v5e): setting
+    ``compiler_params=CompilerParams(vmem_limit_bytes=...)`` HALVES streaming
+    pipeline throughput (1282 -> 652 GB/s on the unrolled spgemm kernel,
+    identical outputs) — the raised scoped-VMEM limit suppresses Mosaic's
+    deep DMA multiple-buffering.  Only pass a vmem limit when the kernel's
+    blocks cannot compile under the default 16MB scoped budget AND the
+    kernel is compute-bound enough not to care (e.g. the MXU tiled GEMM);
+    never blanket-apply it.
     """
     kwargs.setdefault("interpret", platform.interpret_mode())
     return pl.pallas_call(*args, **kwargs)

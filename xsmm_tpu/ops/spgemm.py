@@ -112,24 +112,27 @@ class CsrSpgemm:
 
     # -- trace-unrolled strategy ----------------------------------------------
     def _build_unroll(self):
+        """Flat [K,N]/[M,N] blocks; the SOA view is taken INSIDE the kernel.
+
+        B/C stay 2D in HBM and the [K,bn] block is reshaped to
+        [K, 8, bn/8] in VMEM so each B row fills whole (8,128) vregs.  An
+        XLA-side reshape would relayout the full arrays through HBM — that
+        extra pass measured 407 GB/s end-to-end vs 1121 GB/s for the
+        in-kernel view (v5e, 150x150 operator, f64).  No compiler_params:
+        a raised scoped-VMEM limit halves DMA pipelining (pallas_util).
+        """
         csr, n = self.csr, self.n
         m, k = csr.m, csr.k
         f64 = self.is_f64
-        np_pad = round_up(n, _SUB * 128)
-        nl = np_pad // _SUB
-
-        # lane-tile: whole N if it fits VMEM, else split the lane axis.
-        # Block bytes = (B rows + C rows) * SUB * bn * 4, doubled for the
-        # pipeline's double buffering (and for hi/lo pairs in f64).
-        per_col = (k + m) * _SUB * 4 * (2 if f64 else 1) * 2
-        budget = 12 * 1024 * 1024
-        bn = nl
-        while bn > 128 and bn * per_col > budget:
+        # lane-block: multiple of 8*128 so the in-kernel SOA view tiles
+        # exactly; sized to the default 16MB scoped-VMEM budget.
+        unit = _SUB * 128
+        per_col = (k + m) * 4 * (2 if f64 else 1) * 2
+        bn = 2048
+        while bn > unit and bn * per_col > 14 * 1024 * 1024:
             bn //= 2
-        while nl % bn:
-            bn //= 2
-        bn = max(1, bn)
-        grid = (nl // bn,)
+        np_pad = round_up(n, bn)
+        grid = (np_pad // bn,)
 
         rows = [(csr.row_ptr[i], csr.row_ptr[i + 1]) for i in range(m)]
         cols = csr.col_idx
@@ -139,82 +142,82 @@ class CsrSpgemm:
             fvals = [float(v) for v in vals]
 
             def kernel(b_ref, c_ref):
+                bw = b_ref.shape[1]
+                b = b_ref[:].reshape(k, _SUB, bw // _SUB)
                 for i, (s, e) in enumerate(rows):
                     if s == e:
-                        c_ref[i] = jnp.zeros_like(c_ref[i])
+                        c_ref[i] = jnp.zeros((bw,), jnp.float32)
                         continue
-                    acc = fvals[s] * b_ref[int(cols[s])]
+                    acc = fvals[s] * b[int(cols[s])]
                     for p in range(s + 1, e):
-                        acc = acc + fvals[p] * b_ref[int(cols[p])]
-                    c_ref[i] = acc
+                        acc = acc + fvals[p] * b[int(cols[p])]
+                    c_ref[i] = acc.reshape(bw)
 
             @jax.jit
             def run(b):
                 b = b.astype(jnp.float32)
                 if n != np_pad:
                     b = jnp.pad(b, ((0, 0), (0, np_pad - n)))
-                b3 = b.reshape(k, _SUB, nl)
                 out = pallas_call(
                     kernel,
                     grid=grid,
-                    in_specs=[pl.BlockSpec((k, _SUB, bn),
-                                           lambda i: (0, 0, i),
+                    in_specs=[pl.BlockSpec((k, bn), lambda i: (0, i),
                                            memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((m, _SUB, bn),
-                                           lambda i: (0, 0, i),
+                    out_specs=pl.BlockSpec((m, bn), lambda i: (0, i),
                                            memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((m, _SUB, nl), jnp.float32),
+                    out_shape=jax.ShapeDtypeStruct((m, np_pad), jnp.float32),
                     cost_estimate=pl.CostEstimate(
                         flops=2 * csr.nnz * np_pad,
                         bytes_accessed=(k + m) * np_pad * 4,
                         transcendentals=0),
-                )(b3)
-                return out.reshape(m, np_pad)[:, :n].astype(self.dtype)
+                )(b)
+                return out[:, :n].astype(self.dtype)
             return run
 
         # f64: values split into hi/lo constants; B arrives as (bh, bl)
         splits = [_split_const(v) for v in vals]
 
         def kernel64(bh_ref, bl_ref, ch_ref, cl_ref):
+            bw = bh_ref.shape[1]
+            bh = bh_ref[:].reshape(k, _SUB, bw // _SUB)
+            bl = bl_ref[:].reshape(k, _SUB, bw // _SUB)
             for i, (s, e) in enumerate(rows):
                 if s == e:
-                    ch_ref[i] = jnp.zeros_like(ch_ref[i])
-                    cl_ref[i] = jnp.zeros_like(cl_ref[i])
+                    ch_ref[i] = jnp.zeros((bw,), jnp.float32)
+                    cl_ref[i] = jnp.zeros((bw,), jnp.float32)
                     continue
                 vh, vl = splits[s]
                 c0 = int(cols[s])
-                hi = vh * bh_ref[c0]
-                lo = vh * bl_ref[c0] + vl * bh_ref[c0]
+                hi = vh * bh[c0]
+                lo = vh * bl[c0] + vl * bh[c0]
                 for p in range(s + 1, e):
                     vh, vl = splits[p]
                     c_ = int(cols[p])
-                    hi = hi + vh * bh_ref[c_]
-                    lo = lo + (vh * bl_ref[c_] + vl * bh_ref[c_])
-                ch_ref[i] = hi
-                cl_ref[i] = lo
+                    hi = hi + vh * bh[c_]
+                    lo = lo + (vh * bl[c_] + vl * bh[c_])
+                ch_ref[i] = hi.reshape(bw)
+                cl_ref[i] = lo.reshape(bw)
 
         @jax.jit
         def run64(bh, bl):
             if n != np_pad:
                 bh = jnp.pad(bh, ((0, 0), (0, np_pad - n)))
                 bl = jnp.pad(bl, ((0, 0), (0, np_pad - n)))
-            b3h = bh.reshape(k, _SUB, nl)
-            b3l = bl.reshape(k, _SUB, nl)
             hi, lo = pallas_call(
                 kernel64,
                 grid=grid,
-                in_specs=[pl.BlockSpec((k, _SUB, bn), lambda i: (0, 0, i),
+                in_specs=[pl.BlockSpec((k, bn), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)] * 2,
-                out_specs=[pl.BlockSpec((m, _SUB, bn), lambda i: (0, 0, i),
+                out_specs=[pl.BlockSpec((m, bn), lambda i: (0, i),
                                         memory_space=pltpu.VMEM)] * 2,
-                out_shape=[jax.ShapeDtypeStruct((m, _SUB, nl),
+                out_shape=[jax.ShapeDtypeStruct((m, np_pad),
                                                 jnp.float32)] * 2,
                 cost_estimate=pl.CostEstimate(
                     flops=6 * csr.nnz * np_pad,
                     bytes_accessed=2 * (k + m) * np_pad * 4,
                     transcendentals=0),
-            )(b3h, b3l)
-            return hi.reshape(m, np_pad)[:, :n], lo.reshape(m, np_pad)[:, :n]
+            )(bh, bl)
+            return hi[:, :n], lo[:, :n]
         return run64
 
     def __call__(self, b):
