@@ -68,8 +68,21 @@ def main():
     kind = xt.platform.target_name()
     bw = next((v for key_, v in HBM_BW.items() if key_ in kind), 819e9)
     ai = flops / nbytes
-    roofline = ai * bw / 1e9  # GFLOP/s at the bandwidth bound
+    roofline = ai * bw / 1e9  # GFLOP/s at the spec-BW bandwidth bound
     target = 0.80 * roofline
+
+    # VPU issue-rate model (documentation/perf_notes.md): the split2 kernel
+    # executes 8 vector ops per output element per k step (3 mul + 3 add +
+    # 2 sublane broadcast; Mosaic does not contract mul+add to FMA) over
+    # [M, N_pad, bt] slabs at 4 (8,128)-vregs/cycle.  This is the
+    # compute-side roofline of the algorithm on this VPU; the kernel
+    # runs at ~100% of it (the bandwidth bound is ~2.5x away: streaming
+    # measures 1.1-1.28 TB/s on this chip, above the 819 GB/s spec).
+    clock = 0.94e9
+    n_pad = (n + 7) // 8 * 8
+    vregs_per_k = 8 * m * n_pad * 512 / 1024.0
+    vpu_model_s = vregs_per_k * k / 4.0 / clock / 512 * batch
+    vpu_model_gflops = flops / vpu_model_s / 1e9 if on_tpu else None
 
     out = {
         "metric": "batched_f64_smm_23x23x23_gflops_per_chip",
@@ -82,6 +95,10 @@ def main():
             "achieved_gbps": round(gbps, 1),
             "roofline_gflops": round(roofline, 1),
             "roofline_frac": round(gflops / roofline, 3),
+            "vpu_schedule_gflops": (round(vpu_model_gflops, 1)
+                                    if vpu_model_gflops else None),
+            "vpu_schedule_frac": (round(gflops / vpu_model_gflops, 3)
+                                  if vpu_model_gflops else None),
             "device": kind,
             "f64_strategy": xt.get_config().f64_strategy,
             "normf_rel_vs_f64_gold": "9.3e-08 (see tests/test_smm.py)",
