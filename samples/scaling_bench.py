@@ -53,6 +53,36 @@ def bench_at(n_dev: int, m: int, k: int, n: int, density: float,
             "gflops": 2 * nnz * n / dt / 1e9}
 
 
+def bench_packed_at(n_dev: int, mm: int, batch: int, seed: int = 0):
+    """BASELINE config #5: batch-partitioned packed GETRF (lanes = batch)."""
+    rng = np.random.default_rng(seed)
+    # diagonally dominant (unpivoted LU requirement)
+    a = rng.standard_normal((batch, mm, mm)).astype(np.float32)
+    a += mm * np.eye(mm, dtype=np.float32)
+
+    mesh = make_mesh((n_dev, 1), ("dp", "mp"),
+                     devices=jax.devices()[:n_dev])
+    kern = xt.getrf_dispatch(mm, mm, batch=batch)
+    ap = jnp.transpose(jnp.asarray(a), (1, 2, 0))  # packed [M,N,B]
+    pad = (-batch) % (kern.bt * n_dev)
+    if pad:
+        ap = jnp.pad(ap, ((0, 0), (0, 0), (0, pad)))
+    fn = dist_spmm.dp_packed(mesh, kern.packed, 1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ap = jax.device_put(ap, NamedSharding(mesh, P(None, None, "dp")))
+
+    # correctness: L@U reproduces A (first few instances)
+    lu = np.asarray(fn(ap))[:, :, :8].transpose(2, 0, 1)
+    l = np.tril(lu, -1) + np.eye(mm)
+    u = np.triu(lu)
+    xt.check(a[:8], l @ u, 1e-3)
+
+    dt = device_bench(fn, ap)
+    flops = 2 / 3 * mm ** 3 * batch
+    return {"devices": n_dev, "batch": batch,
+            "seconds": dt, "gflops": flops / dt / 1e9}
+
+
 def main():
     m, k, n = 512, 512, 8192
     density = 0.10
@@ -64,6 +94,13 @@ def main():
         out["scaled"] = rn
         out["scaling_efficiency"] = rn["gnnz_per_s"] / (
             ndev * r1["gnnz_per_s"])
+    p1 = bench_packed_at(1, 16, 4096)
+    out["packed_getrf"] = {"base": p1}
+    if ndev > 1:
+        pn = bench_packed_at(ndev, 16, 4096)
+        out["packed_getrf"]["scaled"] = pn
+        out["packed_getrf"]["scaling_efficiency"] = pn["gflops"] / (
+            ndev * p1["gflops"])
     print(json.dumps(out))
 
 

@@ -83,6 +83,27 @@ def test_dp_batched_smm(rng, mesh8):
     xt.check(gold, c, 1e-3, what="dp batched smm over 8 devices")
 
 
+def test_dp_packed_getrf(rng, mesh8):
+    """BASELINE config #5 machinery: batch-partitioned packed GETRF."""
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    B, mm = 2048, 8
+    a = rng.standard_normal((B, mm, mm)).astype(np.float32)
+    a += mm * np.eye(mm, dtype=np.float32)  # unpivoted LU needs dominance
+    kern = xt.getrf_dispatch(mm, mm, batch=B)
+    ap = jnp.transpose(jnp.asarray(a), (1, 2, 0))
+    pad = (-B) % (kern.bt * 8)
+    if pad:
+        ap = jnp.pad(ap, ((0, 0), (0, 0), (0, pad)))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    fn = dist_spmm.dp_packed(mesh, kern.packed, 1)
+    lu = np.asarray(fn(jax.device_put(
+        ap, NamedSharding(mesh, P(None, None, "dp")))))
+    lu = lu[:, :, :B].transpose(2, 0, 1)
+    l = np.tril(lu, -1) + np.eye(mm)
+    u = np.triu(lu)
+    xt.check(a, l @ u, 1e-3, what="dp packed getrf over 8 devices")
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -121,6 +121,25 @@ def dp_batched_smm(mesh: Mesh, kernel, axis: str = "dp"):
                               check_vma=False))
 
 
+def dp_packed(mesh: Mesh, packed_fn, n_in: int, axis: str = "dp"):
+    """Batch(lane)-partitioned wrapper for any lane-packed kernel.
+
+    BASELINE config #5's "packed batched TRSM+GETRF ... row-partitioned
+    over hosts": the packed layout's lane axis IS the batch, so
+    distributing = sharding the last axis of every operand; each device
+    factorizes/solves its own problem instances with the local Pallas
+    kernel (zero collectives — exactly the reference's per-node split; DP
+    gradient reductions, where needed, ride psum in the engine).
+    """
+    spec = P(None, None, axis)
+
+    def local(*ops):
+        return packed_fn(*ops)
+
+    return jax.jit(_shard_map(local, mesh, (spec,) * n_in, spec,
+                              check_vma=False))
+
+
 def shard_rows(mesh: Mesh, x, axis: str = "mp"):
     """Place [R, C] array row-sharded on the mesh axis (pads R if needed)."""
     d = mesh.shape[axis]
