@@ -155,6 +155,10 @@ class MLEngine:
         self.epoch += 1
         if self.checkpoint_dir:
             self.checkpoint()
+            # snapshot dirs at schedule boundaries (Engine.cpp writes
+            # snapshots at epochs 30/60/80 alongside the rolling checkpoint)
+            if self.epoch in self.solver.step_epochs:
+                self.checkpoint(tag=f"epoch{self.epoch}")
         return {"images_per_s": ips, "loss": float(loss_val), "lr": lr}
 
     def validate(self, batches) -> Dict[str, float]:

@@ -54,6 +54,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Initialize cross-host JAX (the GxM MLSL-environment analog).
+
+    One process per host; afterwards jax.devices() spans all hosts and the
+    same mesh/sharding code scales over DCN.  Arguments default to the
+    standard env vars (JAX_COORDINATOR_ADDRESS etc. / TPU metadata); no-op
+    when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+    return jax.process_count()
+
+
 def host_count() -> int:
     return jax.process_count()
 
