@@ -9,6 +9,7 @@ validates against numpy f64 gold at the 1e-3 gate, and prints GFLOPS + nnz/s.
 """
 
 import glob
+import os
 import sys
 
 import jax.numpy as jnp
@@ -39,6 +40,20 @@ def main():
         for f in (glob.glob(p) or [p]):
             if f != "synthetic":
                 mats.append((f, xt.read_mtx(f)))
+    if not mats:
+        # default to the reference's own operator matrices when present
+        # (its canonical run is pyfr_driver_asp_reg mats/p3/hex/m6-sp.mtx,
+        # samples/pyfr/test.sh); fall back to synthetic operators
+        ref_mats = [
+            "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx",
+            "/root/reference/samples/pyfr/mats/p3/hex/m3-sp.mtx",
+            "/root/reference/samples/pyfr/mats/p2/hex/m6-sp.mtx",
+        ]
+        for f in ref_mats:
+            if os.path.exists(f):
+                mats.append((os.path.basename(os.path.dirname(
+                    os.path.dirname(f))) + "/" + os.path.basename(f),
+                    xt.read_mtx(f)))
     if not mats:
         mats = list(synthetic_ops())
 

@@ -168,3 +168,19 @@ def test_spmdm_bf16(rng):
     ab = np.asarray(a.astype(jnp.bfloat16), np.float64)
     bb = np.asarray(b.astype(jnp.bfloat16), np.float64)
     xt.check(ab @ bb, c, 1e-2, what="spmdm bf16")
+
+
+def test_reference_pyfr_operator():
+    """Validate on the reference's own canonical PyFR matrix when present
+    (samples/pyfr/test.sh runs mats/p3/hex/m6-sp.mtx)."""
+    import os
+    import pytest
+    path = "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx"
+    if not os.path.exists(path):
+        pytest.skip("reference matrices not mounted")
+    a = xt.read_mtx(path)
+    n = 1024
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((a.shape[1], n))
+    kern = xt.create_dcsr_reg(a, n)
+    xt.check(a @ b, kern(b), 1e-3, what="p3/hex/m6-sp reference operator")
