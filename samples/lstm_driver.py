@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """LSTM cell driver (samples/deeplearning/lstmdriver analog).
 
-  python samples/lstm_driver.py [N C K T]
+  python samples/lstm_driver.py [N C K T] [dtype]
+
+dtype float32 (default, HIGHEST-precision MXU) or bfloat16 (native MXU
+pass with f32 accumulation — the reference's bf16 LSTM templates analog).
 """
 
 import sys
@@ -15,10 +18,13 @@ from xsmm_tpu.dnn import CellType, RnnDesc, create_rnncell
 
 
 def main():
-    a = [int(x) for x in sys.argv[1:]]
+    args = sys.argv[1:]
+    dtype = args[-1] if args and not args[-1].isdigit() else "float32"
+    a = [int(x) for x in args if x.isdigit()]
     n, c, k, t = a[:4] if len(a) >= 4 else \
         ((128, 512, 512, 32) if xt.platform.is_tpu() else (8, 32, 32, 4))
-    d = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.LSTM)
+    d = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.LSTM,
+                in_dtype=dtype, out_dtype=dtype)
     cell = create_rnncell(d)
     key = jax.random.PRNGKey(0)
     xt_ = jax.random.normal(key, (t, n, c), jnp.float32)

@@ -262,6 +262,28 @@ def test_lstm_forward(rng):
     xt.check(gc, np.asarray(cT), TOL, what="lstm cell state")
 
 
+def test_lstm_bf16(rng):
+    """bf16 cell (native MXU pass + f32 gate math) vs f32 gold, loose tol."""
+    n, c_, k, t = 8, 10, 12, 5
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.LSTM,
+                in_dtype="bfloat16", out_dtype="bfloat16")
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, 4 * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, 4 * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((4 * k,)).astype(np.float32)
+    h0 = rng.standard_normal((n, k)).astype(np.float32)
+    c0 = rng.standard_normal((n, k)).astype(np.float32)
+    hs, _, _ = cell.forward(xt_, w, r, b, h0, c0)
+    assert np.asarray(hs).dtype == np.dtype(jnp.bfloat16)
+    ghs, _, _ = lstm_gold(xt_, w, r, b, h0, c0, k)
+    xt.check(ghs, np.asarray(hs, np.float64), 5e-2, what="lstm bf16 seq")
+    # bwd runs with matching cotangent dtype
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+    grads = cell.backward_weight_update(xt_, w, r, b, dhs, h0, c0)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
+
+
 def test_lstm_bwd_upd(rng):
     n, c_, k, t = 4, 6, 5, 3
     d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.LSTM)

@@ -99,7 +99,8 @@ class RnnCell:
         def bwd(xt, w, r, b, h0, c0, dhs):
             _, vjp, _ = jax.vjp(loss_free_fwd, xt, w, r, b, h0, c0,
                                 has_aux=True)
-            return vjp(dhs.astype(jnp.float32))
+            # the cotangent must match the fwd output dtype (out_dtype)
+            return vjp(dhs.astype(jnp.dtype(d.out_dtype)))
 
         self._bwd = bwd
 
