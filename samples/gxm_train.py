@@ -18,6 +18,7 @@ from _common import measure  # noqa: F401  (path setup)
 import xsmm_tpu as xt
 from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, inception_v3,
                              resnet, synthetic_batches)
+from xsmm_tpu.models.engine import device_synthetic_batches
 
 
 def main():
@@ -61,6 +62,12 @@ def main():
             from xsmm_tpu.utils.dataset import DataLoader
             train_iter = iter(DataLoader(data, batch=batch, epochs=1,
                                          seed=eng.epoch))
+        elif xt.platform.is_tpu() and "--host-data" not in sys.argv:
+            # device-generated data: measures the train step, not the
+            # host->device tunnel (use --host-data for the full pipeline)
+            train_iter = device_synthetic_batches(
+                batches_per_epoch, batch, hw=hw, classes=100, seed=eng.epoch,
+                sharding=eng._data_sharding)
         else:
             train_iter = synthetic_batches(batches_per_epoch, batch, hw=hw,
                                            classes=100, seed=eng.epoch)

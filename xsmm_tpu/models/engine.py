@@ -216,3 +216,29 @@ def synthetic_batches(n_batches: int, batch: int, hw: int = 32,
     for _ in range(n_batches):
         yield (rng.standard_normal((batch, hw, hw, 3)).astype(np.float32),
                rng.integers(0, classes, (batch,)).astype(np.int32))
+
+
+def device_synthetic_batches(n_batches: int, batch: int, hw: int = 32,
+                             classes: int = 10, seed: int = 0,
+                             sharding=None):
+    """Device-generated synthetic batches: zero host->device transfer.
+
+    On tunneled/remote-device setups the per-batch host transfer dominates
+    (25ms+ round trips); generating with jax.random on device measures the
+    training step itself.  Pass the engine's data sharding to generate
+    directly into the dp layout.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make(key):
+        kx, ky = jax.random.split(key)
+        x = jax.random.normal(kx, (batch, hw, hw, 3), jnp.float32)
+        y = jax.random.randint(ky, (batch,), 0, classes, jnp.int32)
+        return x, y
+
+    if sharding is not None:
+        make = jax.jit(make.__wrapped__, out_shardings=(sharding, sharding))
+    key = jax.random.PRNGKey(seed)
+    for i in range(n_batches):
+        yield make(jax.random.fold_in(key, i))
