@@ -136,3 +136,19 @@ def test_mru_cache_hit():
     reg.dispatch(d, lambda: "k")
     reg.dispatch(d, lambda: "k")
     assert reg.info()["nhit"] >= 1
+
+
+def test_gemm_flags_combos():
+    """tests/gemmflags.c analog: flag composition and the beta gate."""
+    from xsmm_tpu.core.descriptors import GemmFlags, gemm_flags
+    assert gemm_flags() == GemmFlags.NONE
+    assert gemm_flags("T", "N") == GemmFlags.TRANS_A
+    assert gemm_flags("N", "T") == GemmFlags.TRANS_B
+    assert gemm_flags("T", "T", 0.0) == (
+        GemmFlags.TRANS_A | GemmFlags.TRANS_B | GemmFlags.BETA_0)
+    assert gemm_flags(batch_reduce=True) & GemmFlags.BATCH_REDUCE
+    with pytest.raises(ValueError):
+        gemm_flags(beta=0.5)  # beta in {0,1} only (reference README.md:11)
+    # reference numeric values (libxsmm_typedefs.h:180-213)
+    assert GemmFlags.TRANS_A == 1 and GemmFlags.TRANS_B == 2
+    assert GemmFlags.BETA_0 == 16 and GemmFlags.BATCH_REDUCE == 256
