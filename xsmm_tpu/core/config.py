@@ -68,6 +68,12 @@ class Config:
     # the analog of build-time MNK= static specialization (Makefile:674-700).
     aot_shapes: str = ""
 
+    # Batched-SMM backend: "pallas" (lane-packed VPU kernel, default —
+    # measurement mechanistically confirmed) or "xla" (batched dot_general
+    # on the MXU; measured faster standalone but collapses when composed —
+    # see samples/magazine_driver.py and documentation/perf_notes.md).
+    smm_backend: str = "pallas"
+
     # Force Pallas interpreter mode (for CPU testing / debugging).
     interpret: Optional[bool] = None
 
@@ -87,6 +93,7 @@ class Config:
             tgemm_k=_env_int("XSMM_TGEMM_K", 0),
             gemm_threshold=_env_int("XSMM_GEMM_THRESHOLD", 64 * 64 * 64),
             aot_shapes=_env_str("XSMM_AOT_SHAPES", ""),
+            smm_backend=_env_str("XSMM_SMM_BACKEND", "pallas"),
             interpret=(None if "XSMM_INTERPRET" not in os.environ
                        else bool(_env_int("XSMM_INTERPRET", 0))),
             use_native=bool(_env_int("XSMM_NATIVE", 1)),
