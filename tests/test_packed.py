@@ -92,10 +92,19 @@ def test_trsm_f64_refinement(rng):
     a = dd_matrix(rng, B, m)
     b = rng.standard_normal((B, m, n))
     kern = packed.trsm_dispatch(m, n, dtype="float64", batch=B)
+    # default: on-device split2 residual (one device call)
     x = kern(a, b)
-    lhs = np.tril(a) @ x
-    info = xt.matdiff(b, lhs)
-    assert info.normf_rel < 1e-8, f"refined trsm too lossy: {info.normf_rel}"
+    info = xt.matdiff(b, np.tril(a) @ x)
+    assert info.normf_rel < 1e-7, f"refined trsm too lossy: {info.normf_rel}"
+    # "host": f64 residual on host, max precision
+    xh = kern(a, b, refine="host")
+    info_h = xt.matdiff(b, np.tril(a) @ xh)
+    assert info_h.normf_rel < 1e-8, f"host refine: {info_h.normf_rel}"
+    # unrefined f32 solve is much lossier but inside the reference gate
+    x0 = kern(a, b, refine=False)
+    info_0 = xt.matdiff(b, np.tril(a) @ x0)
+    assert info_0.normf_rel < 1e-3
+    assert info.normf_rel < info_0.normf_rel
 
 
 @pytest.mark.parametrize("side,uplo", [("L", "L"), ("L", "U"), ("R", "U")])

@@ -68,14 +68,17 @@ def _getrf_kernel(m_: int, n_: int):
         # over array constants
         rows = jax.lax.broadcasted_iota(jnp.int32, (m_, n_, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (m_, n_, 1), 1)
-        col1 = jax.lax.broadcasted_iota(jnp.int32, (n_, 1), 0)
         row1 = jax.lax.broadcasted_iota(jnp.int32, (m_, 1), 0)
         o_ref[:] = a_ref[:]
 
         def body(k, _):
+            # direct slices instead of masked reductions: the pivot row is
+            # a leading-dim slice, the pivot column a sublane slice (the
+            # same cheap lowering as the SMM W-layout a[:, k]); the masked
+            # full-matrix reduces this replaces measured ~1.7x slower
             rk = o_ref[k]                                   # [N, bt]
-            piv = jnp.sum(jnp.where(col1 == k, rk, 0.0), axis=0)  # [bt]
-            ck = jnp.sum(jnp.where(cols == k, o_ref[:], 0.0), axis=1)  # [M,bt]
+            ck = o_ref[:, k]                                # [M, bt]
+            piv = o_ref[k, k]                               # [bt]
             l = jnp.where(row1 > k, ck / piv[None, :], 0.0)  # [M, bt]
             upd = l[:, None, :] * rk[None, :, :]
             o = o_ref[:] - jnp.where(cols > k, upd, 0.0)
@@ -232,16 +235,49 @@ class TrsmKernel:
 
         self._fn = run
 
-    def __call__(self, a, b, alpha: float = 1.0, refine: Optional[bool] = None):
-        """Solve; for f64 descriptors one split2 refinement step is applied
-        (refine=False to disable)."""
-        if self.is_f64 and (refine or refine is None):
+        # f64 refinement, residual ON DEVICE in split2 precision (a host
+        # residual costs 4 full-array transfers per call — ~25ms round
+        # trips each on tunneled setups)
+        @jax.jit
+        def run_refined(ah, al, bh, bl):
+            x0 = run(ah, bh)
+            opa_h, opa_l = ah, al
+            if trans:
+                opa_h = jnp.swapaxes(opa_h, -1, -2)
+                opa_l = jnp.swapaxes(opa_l, -1, -2)
+            tri_f = jnp.tril if uplo == "L" else jnp.triu
+            opa_h, opa_l = tri_f(opa_h), tri_f(opa_l)
+            if unit:
+                eye = jnp.eye(opa_h.shape[-1], dtype=opa_h.dtype)
+                opa_h = opa_h * (1 - eye) + eye
+                opa_l = opa_l * (1 - eye)
+            p = jax.lax.Precision.HIGHEST
+            if side == "L":
+                ax_h = jnp.matmul(opa_h, x0, precision=p)
+                ax_l = jnp.matmul(opa_l, x0, precision=p)
+            else:
+                ax_h = jnp.matmul(x0, opa_h, precision=p)
+                ax_l = jnp.matmul(x0, opa_l, precision=p)
+            # r = (bh + bl) - (ax_h + ax_l), accumulated hi-first
+            r = ((bh - ax_h) + bl) - ax_l
+            dx = run(ah, r)
+            return x0, dx
+
+        self._fn_refined = run_refined
+
+    def __call__(self, a, b, alpha: float = 1.0, refine=None):
+        """Solve; for f64 descriptors one refinement step is applied.
+
+        refine: None/True = device split2 residual (one device call,
+        ~4e-8 rel); "host" = f64 residual on host (~1e-9 rel, costs two
+        extra host round trips); False = plain f32 solve (~1e-6 rel).
+        """
+        if self.is_f64 and refine == "host":
             a64 = np.asarray(a, np.float64)
             b64 = np.asarray(b, np.float64) * alpha
             x0 = np.asarray(self._fn(jnp.asarray(a64.astype(np.float32)),
                                      jnp.asarray(b64.astype(np.float32))),
                             np.float64)
-            # residual in f64 on host (matrices are small), correction in f32
             opa = np.swapaxes(a64, -1, -2) if self.desc.transa.upper() == "T" \
                 else a64
             tri = np.tril if self.desc.uplo.upper() == "L" else np.triu
@@ -249,14 +285,22 @@ class TrsmKernel:
             if self.desc.diag.upper() == "U":
                 idx = np.arange(opa.shape[-1])
                 opa[..., idx, idx] = 1.0
-            if self.desc.side.upper() == "L":
-                r = b64 - opa @ x0
-            else:
-                r = b64 - x0 @ opa
+            r = (b64 - opa @ x0 if self.desc.side.upper() == "L"
+                 else b64 - x0 @ opa)
             dx = np.asarray(self._fn(jnp.asarray(a64.astype(np.float32)),
                                      jnp.asarray(r.astype(np.float32))),
                             np.float64)
             return x0 + dx
+        if self.is_f64 and (refine or refine is None):
+            a64 = np.asarray(a, np.float64)
+            b64 = np.asarray(b, np.float64) * alpha
+            ah = a64.astype(np.float32)
+            al = (a64 - ah.astype(np.float64)).astype(np.float32)
+            bh = b64.astype(np.float32)
+            bl = (b64 - bh.astype(np.float64)).astype(np.float32)
+            x0, dx = self._fn_refined(jnp.asarray(ah), jnp.asarray(al),
+                                      jnp.asarray(bh), jnp.asarray(bl))
+            return np.asarray(x0, np.float64) + np.asarray(dx, np.float64)
         out = self._fn(jnp.asarray(np.asarray(a, np.float32)),
                        jnp.asarray(np.asarray(b, np.float32)),
                        alpha)
