@@ -41,6 +41,9 @@ def main():
     on_tpu = xt.platform.is_tpu()
     batch = int(os.environ.get("XSMM_BENCH_B", 131072 if on_tpu else 512))
 
+    # the headline measures the lane-packed kernel regardless of the
+    # session's XSMM_SMM_BACKEND routing preference
+    xt.set_config(smm_backend="pallas")
     kern = xt.dmmdispatch(m, n, k, batch=batch, beta=0.0)
     key = jax.random.PRNGKey(0)
     # device-resident operands in the packed layout (hi/lo f32 pairs);

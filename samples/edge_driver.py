@@ -63,14 +63,8 @@ def main():
         assert info.normf_rel < 1e-3, (name, info.normf_rel)
         inner = kern._inner if hasattr(kern, "_inner") else kern
         # time the compiled hot path on device-resident split operands
-        import jax.numpy as jnp
-        if "csc" in name:
-            xt_in = np.swapaxes(x, -1, -2)
-        else:
-            xt_in = x
-        bh = jnp.asarray(xt_in.astype(np.float32))
-        bl = jnp.asarray((xt_in - np.asarray(bh, np.float64))
-                         .astype(np.float32))
+        xt_in = np.swapaxes(x, -1, -2) if "csc" in name else x
+        bh, bl = xt.split_f64(xt_in)
         dt = measure(inner._fn, bh, bl, flops=flops,
                      label=f"{name} {a.shape[0]}x{a.shape[1]} nnz={nnz} "
                            f"[{inner.strategy}]",

@@ -34,8 +34,10 @@ P = jax.lax.Precision.HIGHEST
 
 def main():
     args = sys.argv[1:]
-    batch = int(args[0]) if args else (65536 if xt.platform.is_tpu() else 256)
-    shapes = [tuple(int(v) for v in s.split("x")) for s in args[1:]] or \
+    nums = [a for a in args if a.isdigit()]
+    batch = int(nums[0]) if nums else (65536 if xt.platform.is_tpu() else 256)
+    shapes = [tuple(int(v) for v in s.split("x"))
+              for s in args if "x" in s] or \
         [(5, 5, 5), (13, 13, 13), (23, 23, 23), (32, 32, 32)]
 
     key = jax.random.PRNGKey(0)

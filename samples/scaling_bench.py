@@ -78,8 +78,9 @@ def bench_packed_at(n_dev: int, mm: int, batch: int, seed: int = 0):
     xt.check(a[:8], l @ u, 1e-3)
 
     dt = device_bench(fn, ap)
-    flops = 2 / 3 * mm ** 3 * batch
-    return {"devices": n_dev, "batch": batch,
+    # count the padded batch: the device factorizes every padded instance
+    flops = 2 / 3 * mm ** 3 * ap.shape[-1]
+    return {"devices": n_dev, "batch": batch, "batch_padded": ap.shape[-1],
             "seconds": dt, "gflops": flops / dt / 1e9}
 
 

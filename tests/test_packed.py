@@ -134,3 +134,17 @@ def test_dispatch_cached():
     k1 = packed.getrf_dispatch(8, 8)
     assert packed.getrf_dispatch(8, 8) is k1
     assert packed.trsm_dispatch(8, 8) is packed.trsm_dispatch(8, 8)
+
+
+def test_trsm_f64_refined_transposed(rng):
+    """Regression: refinement must mask op(A)'s triangle, not A's storage
+    triangle — with transa='T' the referenced triangle flips."""
+    m, n = 12, 8
+    a = dd_matrix(rng, B, m)
+    b = rng.standard_normal((B, m, n))
+    kern = packed.trsm_dispatch(m, n, dtype="float64", transa="T", batch=B)
+    for refine in (None, "host"):
+        x = kern(a, b, refine=refine)
+        lhs = np.swapaxes(np.tril(a), -1, -2) @ x
+        info = xt.matdiff(b, lhs)
+        assert info.normf_rel < 1e-7, (refine, info.normf_rel)

@@ -245,7 +245,10 @@ class TrsmKernel:
             if trans:
                 opa_h = jnp.swapaxes(opa_h, -1, -2)
                 opa_l = jnp.swapaxes(opa_l, -1, -2)
-            tri_f = jnp.tril if uplo == "L" else jnp.triu
+            # the referenced triangle flips under the transpose: op(A) of a
+            # lower-stored A lives in the UPPER triangle of the swapped array
+            res_uplo = ("U" if uplo == "L" else "L") if trans else uplo
+            tri_f = jnp.tril if res_uplo == "L" else jnp.triu
             opa_h, opa_l = tri_f(opa_h), tri_f(opa_l)
             if unit:
                 eye = jnp.eye(opa_h.shape[-1], dtype=opa_h.dtype)
@@ -278,9 +281,11 @@ class TrsmKernel:
             x0 = np.asarray(self._fn(jnp.asarray(a64.astype(np.float32)),
                                      jnp.asarray(b64.astype(np.float32))),
                             np.float64)
-            opa = np.swapaxes(a64, -1, -2) if self.desc.transa.upper() == "T" \
-                else a64
-            tri = np.tril if self.desc.uplo.upper() == "L" else np.triu
+            is_t = self.desc.transa.upper() == "T"
+            opa = np.swapaxes(a64, -1, -2) if is_t else a64
+            u = self.desc.uplo.upper()
+            res_uplo = ("U" if u == "L" else "L") if is_t else u
+            tri = np.tril if res_uplo == "L" else np.triu
             opa = tri(opa)
             if self.desc.diag.upper() == "U":
                 idx = np.arange(opa.shape[-1])
@@ -292,14 +297,9 @@ class TrsmKernel:
                             np.float64)
             return x0 + dx
         if self.is_f64 and (refine or refine is None):
-            a64 = np.asarray(a, np.float64)
-            b64 = np.asarray(b, np.float64) * alpha
-            ah = a64.astype(np.float32)
-            al = (a64 - ah.astype(np.float64)).astype(np.float32)
-            bh = b64.astype(np.float32)
-            bl = (b64 - bh.astype(np.float64)).astype(np.float32)
-            x0, dx = self._fn_refined(jnp.asarray(ah), jnp.asarray(al),
-                                      jnp.asarray(bh), jnp.asarray(bl))
+            ah, al = split_f64(a)
+            bh, bl = split_f64(np.asarray(b, np.float64) * alpha)
+            x0, dx = self._fn_refined(ah, al, bh, bl)
             return np.asarray(x0, np.float64) + np.asarray(dx, np.float64)
         out = self._fn(jnp.asarray(np.asarray(a, np.float32)),
                        jnp.asarray(np.asarray(b, np.float32)),

@@ -73,9 +73,13 @@ class MatcopyKernel:
                     return jnp.copy(x).reshape(*lead, m, n)
                 # cap the block at ~4MB: blocks are double-buffered on both
                 # sides and must fit Mosaic's default 16MB scoped budget
-                # (full-width 512-row blocks OOM'd at n=8192)
+                # (full-width 512-row blocks OOM'd at n=8192); rows too wide
+                # to tile under the cap fall back to XLA's copy
                 max_rows = (4 * 1024 * 1024) // max(1, n * dt.itemsize)
-                bt = min(_TILE, rows, max(8, max_rows // 8 * 8))
+                max_rows = max_rows // 8 * 8
+                if max_rows < 8:
+                    return jnp.copy(x).reshape(*lead, m, n)
+                bt = min(_TILE, rows, max_rows)
                 while rows % bt:
                     bt //= 2
                 if bt < 8:

@@ -64,12 +64,17 @@ def init_multihost(coordinator_address: Optional[str] = None,
     standard env vars (JAX_COORDINATOR_ADDRESS etc. / TPU metadata); no-op
     when already initialized or single-process.
     """
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except (RuntimeError, ValueError) as e:
+        already = "once" in str(e).lower() or "already" in str(e).lower()
+        if explicit and not already:
+            # a genuine failure (bad coordinator, unreachable network) must
+            # not silently degrade a multi-host job to N single-host jobs
+            raise
     return jax.process_count()
 
 

@@ -58,10 +58,11 @@ def _abstract_args(kernel, desc) -> Tuple:
         a = jax.ShapeDtypeStruct((max(desc.batch, 1), desc.m, desc.k), dt)
         b = jax.ShapeDtypeStruct((max(desc.batch, 1), desc.k, desc.n), dt)
         return kernel._fn, (a, b)
-    # XlaGemm
+    # XlaGemm (keeps the requested batch as a leading dim when present)
     dt = f32 if kernel.is_f64 else jnp.dtype(desc.in_dtype)
-    a = jax.ShapeDtypeStruct((desc.m, desc.k), dt)
-    b = jax.ShapeDtypeStruct((desc.k, desc.n), dt)
+    lead = (desc.batch,) if desc.batch > 1 else ()
+    a = jax.ShapeDtypeStruct(lead + (desc.m, desc.k), dt)
+    b = jax.ShapeDtypeStruct(lead + (desc.k, desc.n), dt)
     if kernel.is_f64:
         return kernel._fn_split2, (a, a, b, b)
     return kernel._fn, (a, b)
