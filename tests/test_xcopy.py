@@ -61,3 +61,10 @@ def test_dispatch_cached():
     k1 = xcopy.trans_dispatch(8, 8)
     k2 = xcopy.trans_dispatch(8, 8)
     assert k1 is k2
+
+
+def test_matcopy_wide_rows_fallback(rng):
+    """Rows too wide to tile under the VMEM cap route to XLA's copy."""
+    x = rng.standard_normal((8, 1 << 17)).astype(np.float32)  # 512KB rows
+    out = np.asarray(xcopy.matcopy(x))
+    np.testing.assert_array_equal(out, x)
