@@ -39,8 +39,15 @@ void* xsmm_mtx_parse(const char* path) {
   }
   int symmetric = std::strstr(line, "symmetric") != nullptr;
   int pattern = std::strstr(line, "pattern") != nullptr;
-  if (std::strstr(line, "coordinate") == nullptr) {
-    std::fclose(f);  // array format: handled by the Python fallback
+  if (std::strstr(line, "coordinate") == nullptr ||
+      std::strstr(line, "skew") != nullptr ||
+      std::strstr(line, "hermitian") != nullptr ||
+      std::strstr(line, "complex") != nullptr) {
+    // array format / skew-symmetric / hermitian / complex: defer to the
+    // Python fallback (which rejects unsupported kinds loudly) — note
+    // strstr("symmetric") would otherwise match "skew-symmetric" and
+    // mirror with the wrong sign
+    std::fclose(f);
     return nullptr;
   }
   // skip comments
@@ -68,10 +75,16 @@ void* xsmm_mtx_parse(const char* path) {
     int got;
     if (pattern) {
       got = std::fscanf(f, "%lld %lld", &r, &c);
-      if (got != 2) { i = -1; break; }
     } else {
       got = std::fscanf(f, "%lld %lld %lf", &r, &c, &val);
-      if (got != 3) { i = -1; break; }
+    }
+    if (got != (pattern ? 2 : 3) || r < 1 || c < 1 || r > m || c > n) {
+      // truncated/corrupt body: fail loudly (a partially-filled handle
+      // with uninitialized indices would silently build wrong kernels)
+      std::free(d->ri); std::free(d->ci); std::free(d->v);
+      delete d;
+      std::fclose(f);
+      return nullptr;
     }
     d->ri[i] = (int32_t)(r - 1);
     d->ci[i] = (int32_t)(c - 1);

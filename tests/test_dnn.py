@@ -339,3 +339,42 @@ def test_rnn_tanh_matches_gold(rng):
     for tt in range(t):
         h = np.tanh(xt_[tt].astype(np.float64) @ w + h @ r + b)
     xt.check(h, np.asarray(hs)[-1], TOL)
+
+
+def test_sync_bn_matches_global_batch(rng):
+    """Cross-replica BN (axis_name) must equal single-device BN on the
+    full batch — forward AND backward (the dx sums must be psum'd)."""
+    from xsmm_tpu.parallel.mesh import make_mesh
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+
+    d = BnDesc(n=8, c=6, h=4, w=4)
+    x = rng.standard_normal((8, 4, 4, 6)).astype(np.float32)
+    gamma = rng.standard_normal((6,)).astype(np.float32)
+    beta = rng.standard_normal((6,)).astype(np.float32)
+    dy = rng.standard_normal((8, 4, 4, 6)).astype(np.float32)
+
+    ref_bn = create_fusedbatchnorm(d)
+    y_ref, st_ref = ref_bn.forward(x, gamma, beta)
+    dx_ref, dg_ref, db_ref = ref_bn.backward(dy, gamma, st_ref)
+
+    mesh = make_mesh((2, 4), ("dp", "mp"))
+    dloc = BnDesc(n=4, c=6, h=4, w=4)
+    bn = create_fusedbatchnorm(dloc, axis_name="dp")
+
+    def local(x, dy, gamma, beta):
+        y, st = bn._fwd.__wrapped__(x, gamma, beta)
+        dx, dg, db = bn._bwd.__wrapped__(dy, gamma, st)
+        return y, dx, dg, db
+
+    f = jax.jit(_sm(local, mesh=mesh,
+                    in_specs=(P("dp"), P("dp"), P(), P()),
+                    out_specs=(P("dp"), P("dp"), P(), P())))
+    y, dx, dg, db = f(x, dy, gamma, beta)
+    xt.check(np.asarray(y_ref), np.asarray(y), TOL, what="sync-bn fwd")
+    xt.check(np.asarray(dx_ref), np.asarray(dx), TOL, what="sync-bn dx")
+    xt.check(np.asarray(dg_ref), np.asarray(dg), TOL, what="sync-bn dgamma")
+    xt.check(np.asarray(db_ref), np.asarray(db), TOL, what="sync-bn dbeta")

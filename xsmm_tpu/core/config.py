@@ -117,6 +117,11 @@ def set_config(**kwargs) -> Config:
         if not hasattr(cfg, k):
             raise AttributeError(f"unknown config field: {k}")
         setattr(cfg, k, v)
+    if "target" in kwargs or "interpret" in kwargs:
+        # platform detection caches backend(); invalidate so target
+        # overrides take effect after first use
+        from . import platform
+        platform.reset_platform_cache()
     return cfg
 
 

@@ -134,15 +134,17 @@ class GemmDescriptor:
         return bool(self.flags & GemmFlags.BATCH_REDUCE)
 
     def pack(self) -> bytes:
-        """32-byte key (reference: LIBXSMM_DESCRIPTOR_MAXSIZE)."""
+        """Packed key, 35 bytes (reference keys are <=32B via bit-packing;
+        ours trades a few bytes for full-width fields so no two distinct
+        descriptors can ever alias — a 16-bit ldc would collide all
+        ldc >= 65535)."""
         return struct.pack(
-            "<BIIIHBBIIIHBB",
+            "<BIIIHBBIIIIBB",
             1,  # kind tag: gemm
             self.m, self.n, self.k,
             self.flags,
             dtype_code(self.in_dtype), dtype_code(self.out_dtype),
-            self.batch, self.lda, self.ldb,
-            min(self.ldc, 0xFFFF),
+            self.batch, self.lda, self.ldb, self.ldc,
             self.prefetch & 0xFF, 0,
         )
 

@@ -177,10 +177,18 @@ class Registry:
         self._table[key] = entry
         self._entries.append(entry)
         if self._native is not None:
-            slot = self._native.insert(key, len(self._entries) - 1)
-            if slot != len(self._entries) - 1:
-                # stale tombstone slot from a released key: repoint it
-                self._entries[slot] = entry
+            try:
+                slot = self._native.insert(key, len(self._entries) - 1)
+            except RuntimeError:
+                # the native table never removes keys, so release/insert
+                # churn can fill it while the dict is below capacity; drop
+                # to the pure-Python index rather than failing dispatch
+                self._native = None
+                self.stats.ncol += 1
+            else:
+                if slot != len(self._entries) - 1:
+                    # stale tombstone slot from a released key: repoint it
+                    self._entries[slot] = entry
         self._cache_insert(key, entry)
         return entry
 

@@ -36,10 +36,13 @@ class FusedBatchNorm:
         def fwd(x, gamma, beta, residual=None):
             x = x.astype(jnp.float32)
             mean = jnp.mean(x, axis=red)
-            var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)
+            ex2 = jnp.mean(jnp.square(x), axis=red)
             if axis_name:
+                # sync-BN: average the MOMENTS across replicas; averaging
+                # per-shard variances would drop the between-shard variance
                 mean = jax.lax.pmean(mean, axis_name)
-                var = jax.lax.pmean(var, axis_name)
+                ex2 = jax.lax.pmean(ex2, axis_name)
+            var = ex2 - jnp.square(mean)
             inv_std = jax.lax.rsqrt(var + d.eps)
             x_hat = (x - mean) * inv_std
             y = x_hat * gamma + beta
@@ -68,9 +71,17 @@ class FusedBatchNorm:
                 dgamma = jax.lax.psum(dgamma, axis_name)
                 dbeta = jax.lax.psum(dbeta, axis_name)
             dx_hat = dy * gamma
+            s1 = jnp.sum(dx_hat, axis=red)
+            s2 = jnp.sum(dx_hat * state.x_hat, axis=red)
+            if axis_name:
+                # cross-replica BN: the forward statistics were pmean'd, so
+                # the mean-subtraction terms of dx must use the GLOBAL sums
+                # and count or dx is not the gradient of the actual forward
+                s1 = jax.lax.psum(s1, axis_name)
+                s2 = jax.lax.psum(s2, axis_name)
+                nhw = nhw * jax.lax.psum(1, axis_name)
             dx = (state.inv_std / nhw) * (
-                nhw * dx_hat - jnp.sum(dx_hat, axis=red)
-                - state.x_hat * jnp.sum(dx_hat * state.x_hat, axis=red))
+                nhw * dx_hat - s1 - state.x_hat * s2)
             out = (dx.astype(jnp.dtype(d.dtype)), dgamma, dbeta)
             return out + ((dresidual,) if dresidual is not None else ())
 

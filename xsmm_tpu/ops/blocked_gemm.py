@@ -7,12 +7,15 @@ barrier-synchronized threaded compute driven by a template.
 
 TPU-native: the blocked layout is [Mb, Kb, bm, bk] (block-row-major, the
 reference's layout), produced/consumed by jitted reshape+transpose
-converters (pure data movement, fused by XLA into single copies).  The
-compute contracts over (Kb, bk) in one einsum — the MXU + XLA tiling does
-the per-block microkernel scheduling that the reference's loop orders and
-per-block locks hand-manage; the ``order`` parameter is accepted for API
-parity and recorded (it steered cache behavior on x86; XLA owns scheduling
-here).
+converters.  The compute contracts over (Kb, bk) in one einsum — the MXU +
+XLA tiling does the per-block microkernel scheduling that the reference's
+loop orders and per-block locks hand-manage; the ``order`` parameter is
+accepted for API parity and recorded (it steered cache behavior on x86;
+XLA owns scheduling here).
+
+float64 routes through the two-float split (three f32 einsums, hi/lo
+recombined in f64 on the way out) like every other f64 path here — it is
+NOT silently downcast to f32.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas_util import round_up
-from .smm import _mxu_precision
+from .smm import _mxu_precision, split_f64
 
 ORDERS = ("ijk", "ikj", "jik", "jki", "kij", "kji")  # parity: 6 loop orders
 
@@ -36,51 +39,92 @@ class BlockedGemmHandle:
         self.m, self.n, self.k = m, n, k
         self.bm, self.bn, self.bk = bm, bn, bk
         self.order = order
-        self.dtype = jnp.dtype(dtype)
+        self.is_f64 = str(dtype) == "float64"
+        self.dtype = np.dtype("float64") if self.is_f64 else jnp.dtype(dtype)
         self.mp = round_up(m, bm)
         self.np_ = round_up(n, bn)
         self.kp = round_up(k, bk)
 
-        prec = _mxu_precision(str(self.dtype))
+        comp_dt = jnp.float32 if self.is_f64 else jnp.dtype(dtype)
+        prec = (jax.lax.Precision.HIGHEST if self.is_f64
+                else _mxu_precision(str(comp_dt)))
+
+        def _ein(a_blk, b_blk):
+            return jnp.einsum("MKmk,KNkn->MNmn", a_blk, b_blk,
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
 
         @jax.jit
         def compute(a_blk, b_blk, c_blk=None):
-            # a_blk [Mb, Kb, bm, bk], b_blk [Kb, Nb, bk, bn]
-            out = jnp.einsum("MKmk,KNkn->MNmn", a_blk, b_blk,
-                             precision=prec,
-                             preferred_element_type=jnp.float32)
+            out = _ein(a_blk, b_blk)
             if c_blk is not None:
                 out = out + c_blk
-            return out.astype(self.dtype)
+            return out.astype(comp_dt)
 
         self._compute = compute
 
+        @jax.jit
+        def compute_split2(ah, al, bh, bl, ch=None, cl=None):
+            hi = _ein(ah, bh)
+            lo = _ein(ah, bl) + _ein(al, bh)
+            if ch is not None:
+                hi = hi + ch
+                lo = lo + cl
+            return hi, lo
+
+        self._compute_split2 = compute_split2
+
+        def _block(x, rows, cols, br, bc):
+            x = jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+            return x.reshape(rows // br, br, cols // bc, bc
+                             ).transpose(0, 2, 1, 3)
+
+        self._blk_a = jax.jit(
+            lambda x: _block(x.astype(comp_dt), self.mp, self.kp, bm, bk))
+        self._blk_b = jax.jit(
+            lambda x: _block(x.astype(comp_dt), self.kp, self.np_, bk, bn))
+        self._blk_c = jax.jit(
+            lambda x: _block(x.astype(comp_dt), self.mp, self.np_, bm, bn))
+        self._unblk_c = jax.jit(
+            lambda c: c.transpose(0, 2, 1, 3).reshape(self.mp, self.np_)
+            [:m, :n])
+
     # -- copy-in/copy-out (libxsmm_blocked_gemm.c:169-418 analogs) -----------
+    # f64 operands return (hi, lo) block pairs.
     def copyin_a(self, a):
-        a = jnp.asarray(a, self.dtype)
-        a = jnp.pad(a, ((0, self.mp - self.m), (0, self.kp - self.k)))
-        return a.reshape(self.mp // self.bm, self.bm,
-                         self.kp // self.bk, self.bk).transpose(0, 2, 1, 3)
+        if self.is_f64:
+            hi, lo = split_f64(a)
+            return self._blk_a(hi), self._blk_a(lo)
+        return self._blk_a(jnp.asarray(a))
 
     def copyin_b(self, b):
-        b = jnp.asarray(b, self.dtype)
-        b = jnp.pad(b, ((0, self.kp - self.k), (0, self.np_ - self.n)))
-        return b.reshape(self.kp // self.bk, self.bk,
-                         self.np_ // self.bn, self.bn).transpose(0, 2, 1, 3)
+        if self.is_f64:
+            hi, lo = split_f64(b)
+            return self._blk_b(hi), self._blk_b(lo)
+        return self._blk_b(jnp.asarray(b))
 
     def copyin_c(self, c):
-        c = jnp.asarray(c, self.dtype)
-        c = jnp.pad(c, ((0, self.mp - self.m), (0, self.np_ - self.n)))
-        return c.reshape(self.mp // self.bm, self.bm,
-                         self.np_ // self.bn, self.bn).transpose(0, 2, 1, 3)
+        if self.is_f64:
+            hi, lo = split_f64(c)
+            return self._blk_c(hi), self._blk_c(lo)
+        return self._blk_c(jnp.asarray(c))
 
     def copyout_c(self, c_blk):
-        c = c_blk.transpose(0, 2, 1, 3).reshape(self.mp, self.np_)
-        return c[:self.m, :self.n]
+        if self.is_f64:
+            hi, lo = c_blk
+            return (np.asarray(self._unblk_c(hi), np.float64)
+                    + np.asarray(self._unblk_c(lo), np.float64))
+        return self._unblk_c(c_blk)
 
     # -- execute ----------------------------------------------------------------
     def execute(self, a_blk, b_blk, c_blk=None):
         """Blocked-layout compute (the _st template analog)."""
+        if self.is_f64:
+            ah, al = a_blk
+            bh, bl = b_blk
+            if c_blk is not None:
+                return self._compute_split2(ah, al, bh, bl, *c_blk)
+            return self._compute_split2(ah, al, bh, bl)
         if c_blk is not None:
             return self._compute(a_blk, b_blk, c_blk)
         return self._compute(a_blk, b_blk)

@@ -19,7 +19,7 @@ from typing import Union
 import numpy as np
 
 from ..utils.mtx import Csr
-from .spgemm import UNROLL_MAX, CsrSpgemm, create_csr_soa
+from .spgemm import create_csr_soa
 
 
 class Fsspmdm:
@@ -34,8 +34,9 @@ class Fsspmdm:
         self.nnz = csr.nnz
         self.kernel = create_csr_soa(csr, n, dtype=dtype, strategy=strategy)
         self.strategy = self.kernel.strategy
-        # parity attribute (reference N_chunksize=16); informational here
-        self.n_chunksize = n
+        # parity attribute (reference N_chunksize=16): the kernel's actual
+        # internal lane tile when it has one, else the full N
+        self.n_chunksize = getattr(self.kernel, "bn", None) or n
 
     def execute(self, b):
         """libxsmm_dfsspmdm_execute analog."""

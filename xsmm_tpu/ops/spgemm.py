@@ -81,6 +81,7 @@ class CsrSpgemm:
         if strategy == "auto":
             strategy = "unroll" if csr.nnz <= UNROLL_MAX else "dense"
         self.strategy = strategy
+        self.bn = None  # set by the unroll builder
         self._fn = (self._build_unroll() if strategy == "unroll"
                     else self._build_dense())
 
@@ -131,6 +132,7 @@ class CsrSpgemm:
         bn = 2048
         while bn > unit and bn * per_col > 14 * 1024 * 1024:
             bn //= 2
+        self.bn = bn  # lane tile (introspection: fsspmdm n_chunksize)
         np_pad = round_up(n, bn)
         grid = (np_pad // bn,)
 

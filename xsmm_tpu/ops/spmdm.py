@@ -70,7 +70,9 @@ class SpmdmHandle:
             a = jnp.asarray(a, self.in_dtype)
             if tol:
                 a = jnp.where(jnp.abs(a) > tol, a, 0)
-            nnz = int(jnp.count_nonzero(a))
+            # keep nnz as a device scalar: an eager int() here would block
+            # on a host round-trip (~25ms tunneled) in the per-step path
+            nnz = jnp.count_nonzero(a)
             return SparseSlice(kind="dense", a=a, nnz=nnz)
 
         a_np = np.asarray(a)

@@ -111,6 +111,11 @@ def read_mtx(path: str) -> np.ndarray:
         parts = header.split()
         fmt = parts[2]          # coordinate | array
         symmetry = parts[4] if len(parts) > 4 else "general"
+        if symmetry not in ("general", "symmetric"):
+            # skew-symmetric / hermitian would be silently mis-read as
+            # general (mirror entries dropped); fail loudly instead
+            raise ValueError(
+                f"{path}: unsupported MatrixMarket symmetry '{symmetry}'")
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
