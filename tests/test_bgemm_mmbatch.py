@@ -70,6 +70,23 @@ def test_mmbatch_recording(rng):
     assert jnp.matmul.__name__ == "matmul"
 
 
+def test_mmbatch_einsum_recording(rng):
+    a = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
+    with mb.mmbatch_begin() as calls:
+        c1 = jnp.einsum("bij,bjk->bik", a, a)   # recorded (batched matmul)
+        c2 = jnp.einsum("ij,jk->ik", a[0], a[0])  # recorded (plain matmul)
+        c3 = jnp.einsum("bij,bij->b", a, a)     # passes through unrecorded
+    assert len(calls) == 2
+    assert calls[0].batch == 4 and calls[0].m == 8 and calls[0].k == 8
+    assert calls[1].batch == 1
+    assert jnp.einsum.__name__ == "einsum"  # restored
+    gold = np.einsum("bij,bjk->bik", np.asarray(a, np.float64),
+                     np.asarray(a, np.float64))
+    xt.check(gold, np.asarray(c1), 1e-3)
+    xt.check(gold[0], np.asarray(c2), 1e-3)
+    assert np.isfinite(np.asarray(c3)).all()
+
+
 def test_mmbatch_reroute(rng):
     a = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
     with mb.mmbatch_begin(record_only=False) as calls:

@@ -110,7 +110,13 @@ def test_capacity_exhaustion_degrades():
     assert reg.dispatch(_desc(m=99), lambda: "uncached") == "uncached"
     assert reg.info()["size"] == 4          # table did not grow
     assert reg.stats.ncol > col0            # overflow recorded as collision
-    # and the overflow descriptor builds again on re-dispatch
+    # a hot over-capacity descriptor still hits the thread-local MRU cache
+    # (no rebuild, i.e. no fresh XLA compile per call) ...
+    assert reg.dispatch(_desc(m=99), lambda: "rebuilt") == "uncached"
+    # ... but once evicted from the MRU it builds again (uncached in table)
+    from xsmm_tpu.core.config import get_config
+    for m in range(100, 101 + get_config().cache_maxsize):
+        reg.dispatch(_desc(m=m), lambda: "evictor")
     assert reg.dispatch(_desc(m=99), lambda: "rebuilt") == "rebuilt"
 
 

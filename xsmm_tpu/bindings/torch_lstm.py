@@ -22,6 +22,7 @@ never requires torch.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -30,7 +31,11 @@ from ..dnn.types import CellType, RnnDesc
 from ..dnn.rnncell import create_rnncell
 
 
+@functools.lru_cache(maxsize=64)
 def _cell(t: int, n: int, c: int, k: int):
+    # Memoized: one compiled cell (and its jit closures) is reused across
+    # training steps, matching the TF op's cached-handle behavior — a fresh
+    # RnnCell per forward() would retrace/recompile every step.
     desc = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.LSTM)
     return create_rnncell(desc)
 
@@ -71,10 +76,15 @@ class XsmmLSTMFunction:
             @staticmethod
             def backward(ctx, dhs, dh_t, dc_t):
                 xt, w, r, b, h0, c0 = ctx.saved_tensors
-                # dh_t/dc_t feedback is folded into dhs' last step by the
-                # VJP of (hs,) only; fold dh_t into the last dhs row (h_T
-                # IS hs[-1]); dc_t is unsupported (as in the TF op, which
-                # differentiates through hs)
+                # dh_t feedback folds into dhs' last step (h_T IS hs[-1]).
+                # dc_t is unsupported (as in the TF op, which differentiates
+                # through hs only) — raise rather than silently dropping a
+                # nonzero cell-state gradient.
+                if dc_t is not None and bool((dc_t != 0).any()):
+                    raise NotImplementedError(
+                        "XsmmLSTM: gradients w.r.t. the final cell state c_T "
+                        "are not supported; build the loss from hs/h_T only "
+                        "(reference TF op differentiates through hs)")
                 dhs = dhs.clone()
                 dhs[-1] += dh_t
                 grads = ctx.cell.backward_weight_update(

@@ -109,7 +109,11 @@ class Registry:
         self.capacity = capacity or cfg.registry_capacity
         self._table: Dict[bytes, RegistryEntry] = {}
         self._entries: List[Optional[RegistryEntry]] = []  # slot-indexed
-        self._build_lock = threading.Lock()
+        # Reentrant: dispatch() holds this lock across builder(), and a
+        # builder may transitively dispatch another kernel (e.g. a frontend
+        # constructor that creates sub-kernels) — an RLock keeps that from
+        # self-deadlocking while still serializing builds across threads.
+        self._build_lock = threading.RLock()
         self._tls = threading.local()
         self.stats = Stats()
         # Native C++ CRC32C probe table as the fast index; the Python dict
@@ -173,6 +177,10 @@ class Registry:
                 import warnings
                 warnings.warn("xsmm_tpu registry capacity exhausted; "
                               "kernel not cached")
+            # Still feed the thread-local MRU cache so a hot over-capacity
+            # descriptor reuses this compiled callable instead of re-running
+            # builder() (a fresh XLA compile) on every dispatch.
+            self._cache_insert(key, entry)
             return entry
         self._table[key] = entry
         self._entries.append(entry)

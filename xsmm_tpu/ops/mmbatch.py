@@ -76,42 +76,83 @@ class _Recorder(threading.local):
 _recorder = _Recorder()
 
 
+_intercept_lock = threading.Lock()  # one interception scope per process
+
+
+def _record_matmul_shapes(calls, ash, bsh, dtype):
+    """Record an (m, n, k, batch) call if the shapes are matmul-like."""
+    if len(ash) >= 2 and len(bsh) >= 2:
+        m, k = ash[-2], ash[-1]
+        n = bsh[-1]
+        batch = int(np.prod(ash[:-2])) if len(ash) > 2 else 1
+        calls.append(RecordedCall(m, n, k, batch, dtype))
+        return m, n, k, batch
+    return None
+
+
 @contextlib.contextmanager
 def mmbatch_begin(record_only: bool = True):
-    """Intercept jnp.matmul calls within the context.
+    """Intercept jnp.matmul / jnp.einsum calls within the context.
 
     Yields the list of RecordedCall entries (filled as calls happen).
     ``record_only=False`` additionally reroutes eligible 3-D batched small
     matmuls through the dispatch cache (the wrap behavior); 2-D and large
-    calls always pass through.
+    calls, einsum, and anything the shape probe cannot classify always pass
+    through to the original op.  einsum calls are recorded when the spec is
+    a recognizable (batched) matmul contraction ('ij,jk', 'bij,bjk', ...);
+    other specs pass through unrecorded — this interceptor is a parity shim
+    for the reference's link-time --wrap trick, not a general dot_general
+    hook.
+
+    Scope rules: the monkeypatch is process-global, so interception scopes
+    are serialized by a lock — one active scope at a time; concurrent
+    threads' calls during a scope are recorded into that scope's list.
+    Shape-probe failures on exotic inputs raise (nothing is swallowed);
+    reroute errors propagate from the dispatched kernel itself.
     """
     calls: List[RecordedCall] = []
-    orig = jnp.matmul
     threshold = get_config().gemm_threshold
 
-    def wrapped(a, b, **kw):
-        try:
+    with _intercept_lock:
+        orig_matmul = jnp.matmul
+        orig_einsum = jnp.einsum
+
+        def wrapped_matmul(a, b, **kw):
             ash, bsh = np.shape(a), np.shape(b)
-            if len(ash) >= 2 and len(bsh) >= 2:
-                m, k = ash[-2], ash[-1]
-                n = bsh[-1]
-                batch = int(np.prod(ash[:-2])) if len(ash) > 2 else 1
-                calls.append(RecordedCall(m, n, k, batch,
-                                          str(jnp.result_type(a, b))))
-                if (not record_only and len(ash) == 3 and len(bsh) == 3
-                        and m * n * k <= threshold and not kw):
+            rec = _record_matmul_shapes(calls, ash, bsh,
+                                        str(jnp.result_type(a, b)))
+            if (rec is not None and not record_only and len(ash) == 3
+                    and len(bsh) == 3 and ash[0] == bsh[0] and not kw):
+                m, n, k, batch = rec
+                if m * n * k <= threshold:
                     kern = mmdispatch(m, n, k, in_dtype=str(a.dtype),
                                       batch=batch, beta=0.0)
                     return kern(a, b)
-        except Exception:
-            pass
-        return orig(a, b, **kw)
+            return orig_matmul(a, b, **kw)
 
-    jnp.matmul = wrapped
-    try:
-        yield calls
-    finally:
-        jnp.matmul = orig
+        def wrapped_einsum(*args, **kw):
+            # record specs of the form '<batch>ij,<batch>jk-><batch>ik'
+            # (same batch prefix, one contracted index) — the matmul family
+            if args and isinstance(args[0], str) and len(args) == 3:
+                spec = args[0].replace(" ", "")
+                explicit = spec.split("->")[0] if "->" in spec else spec
+                parts = explicit.split(",")
+                if len(parts) == 2 and len(parts[0]) >= 2 and len(parts[1]) >= 2:
+                    lhs, rhs = parts
+                    if (lhs[:-2] == rhs[:-2] and lhs[-1] == rhs[-2]
+                            and "." not in spec):
+                        _record_matmul_shapes(
+                            calls, np.shape(args[1]), np.shape(args[2]),
+                            str(jnp.result_type(args[1], args[2])))
+            return orig_einsum(*args, **kw)
+
+        jnp.matmul = wrapped_matmul
+        jnp.einsum = wrapped_einsum
+        try:
+            yield calls
+        finally:
+            jnp.matmul = orig_matmul
+            jnp.einsum = orig_einsum
 
 
 def mmbatch_end():  # parity shim: the context manager form is canonical

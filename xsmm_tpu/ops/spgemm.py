@@ -129,9 +129,13 @@ class CsrSpgemm:
         # exactly; sized to the default 16MB scoped-VMEM budget.
         unit = _SUB * 128
         per_col = (k + m) * 4 * (2 if f64 else 1) * 2
-        bn = 2048
+        # Initial lane block: never pad more than one 8x128 unit beyond N
+        # (small-N operators like N=16 SeisSol panels would otherwise pad
+        # B/C out to 2048 columns of wasted traffic); shrink under VMEM
+        # pressure but keep whole units so the in-kernel SOA view tiles.
+        bn = min(2048, max(unit, round_up(n, unit)))
         while bn > unit and bn * per_col > 14 * 1024 * 1024:
-            bn //= 2
+            bn = max(unit, bn // 2 // unit * unit)
         self.bn = bn  # lane tile (introspection: fsspmdm n_chunksize)
         np_pad = round_up(n, bn)
         grid = (np_pad // bn,)
