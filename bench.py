@@ -36,32 +36,37 @@ HBM_BW = {
 }
 
 
-def main():
+def run() -> dict:
+    """Measure config #1 and return the result dict (main() prints it)."""
     m = n = k = 23
     on_tpu = xt.platform.is_tpu()
     batch = int(os.environ.get("XSMM_BENCH_B", 131072 if on_tpu else 512))
 
-    # the headline measures the lane-packed kernel regardless of the
-    # session's XSMM_SMM_BACKEND routing preference
+    # the headline measures the lane-packed kernel (the library default
+    # f64 schedule) regardless of the session's XSMM_SMM_BACKEND routing
     xt.set_config(smm_backend="pallas")
+    strategy = xt.get_config().f64_strategy
     kern = xt.dmmdispatch(m, n, k, batch=batch, beta=0.0)
     key = jax.random.PRNGKey(0)
     # device-resident operands in the packed layout (hi/lo f32 pairs);
     # A is m-leading [M,K,B], B is k-leading [K,N,B] (ops/smm.py)
     ah = jax.random.normal(key, (m, k, batch), jnp.float32)
-    al = ah * 1e-8
     bh = jax.random.normal(jax.random.PRNGKey(1), (k, n, batch), jnp.float32)
-    bl = bh * 1e-8
+    if strategy == "split2":
+        ops = (ah, ah * 1e-8, bh, bh * 1e-8)
+    elif strategy == "split2_fast":
+        ops = (ah, bh, bh * 1e-8)
+    else:  # float32 / native
+        ops = (ah, bh)
 
     if on_tpu:
         # probe="elem": the kernel is an XLA-opaque custom call, so a
         # single-element feedback is a safe dependency; the default "sum"
-        # probe would re-read the full output each iteration (+33% bytes).
-        dt = device_bench(kern._packed_fn, ah, al, bh, bl,
+        # probe would re-read the full output every iteration (+33% bytes).
+        dt = device_bench(kern._packed_fn, *ops,
                           iters=40, base_iters=8, probe="elem")
     else:
-        dt, _ = xt.timer.bench(kern._packed_fn, ah, al, bh, bl,
-                               warmup=1, iters=3)
+        dt, _ = xt.timer.bench(kern._packed_fn, *ops, warmup=1, iters=3)
 
     flops = 2 * m * n * k * batch
     nbytes = (m * k + k * n + m * n) * batch * 8  # f64-equivalent I/O
@@ -74,17 +79,20 @@ def main():
     roofline = ai * bw / 1e9  # GFLOP/s at the spec-BW bandwidth bound
     target = 0.80 * roofline
 
-    # VPU issue-rate model (documentation/perf_notes.md): the split2 kernel
-    # executes 8 vector ops per output element per k step (3 mul + 3 add +
-    # 2 sublane broadcast; Mosaic does not contract mul+add to FMA) over
-    # [M, N_pad, bt] slabs at 4 (8,128)-vregs/cycle.  This is the
-    # compute-side roofline of the algorithm on this VPU; the kernel
-    # runs at ~100% of it (the bandwidth bound is ~2.5x away: streaming
-    # measures 1.1-1.28 TB/s on this chip, above the 819 GB/s spec).
+    # VPU issue-rate model (documentation/perf_notes.md "f64 schedule
+    # study"): vector ops per (m, k) step over a [M, N_pad, bt=512] slab
+    # (12 output vregs): split2 = 8 bcast + 72 mul/add (dual accumulator,
+    # 3 products); split2_fast = 4 bcast + 48 (2 products, scratch lo);
+    # float32 = 4 + 24.  Mosaic does not contract mul+add to FMA; VPU
+    # issues 4 (8,128)-vregs/cycle.  This is the compute-side roofline of
+    # each schedule; the bandwidth bound (measured ~650 GB/s streaming on
+    # this kernel class) takes over below ~4 ops/element.
     clock = 0.94e9
     n_pad = (n + 7) // 8 * 8
-    vregs_per_k = 8 * m * n_pad * 512 / 1024.0
-    vpu_model_s = vregs_per_k * k / 4.0 / clock / 512 * batch
+    vregops_per_mk = {"split2": 80, "split2_fast": 52, "float32": 28,
+                      "native": 28}[strategy]
+    cycles = vregops_per_mk * m * k / 4.0 * (batch / 512)
+    vpu_model_s = cycles / clock
     vpu_model_gflops = flops / vpu_model_s / 1e9 if on_tpu else None
 
     out = {
@@ -103,11 +111,16 @@ def main():
             "vpu_schedule_frac": (round(gflops / vpu_model_gflops, 3)
                                   if vpu_model_gflops else None),
             "device": kind,
-            "f64_strategy": xt.get_config().f64_strategy,
-            "normf_rel_vs_f64_gold": "9.3e-08 (see tests/test_smm.py)",
+            "f64_strategy": strategy,
+            "normf_rel_vs_f64_gold": "9.9e-08 (see tests/test_smm.py::"
+                                     "test_f64_strategy_accuracy)",
         },
     }
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

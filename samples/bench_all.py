@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""All five BASELINE configs, one machine-checkable JSON artifact per round.
+
+BASELINE.md targets:
+  #1 batched f64 SMM 23^3            — GFLOP/s/chip >= 80% roofline
+  #2 PyFR/SeisSol CSR sparse-A SpMM  — nnz/s + GFLOP/s >= 80% roofline
+  #3 fsspmdm (CP2K/nek blocked SMMs) — nnz/s measured
+  #4 spmdm dynamic sparsity          — nnz/s measured
+  #5 packed GETRF + blocked GEMM, row-partitioned — scaling efficiency
+
+Usage:  python samples/bench_all.py [out.json]
+Writes BENCH_extra.json (or argv[1]) at the repo root and prints it.
+Configs #1-#4 run on the local chip; #5's N-device scaling efficiency needs
+a multi-chip mesh, so on a single-chip box it records the 1-device numbers
+here and defers the N-device ring/packed efficiencies to
+samples/scaling_bench.py on the virtual CPU mesh (machinery validation,
+SURVEY.md §4's noarch analog).
+
+The reference's discipline this mirrors: driver-printed GFLOPS everywhere
+(samples/deeplearning/cnnlayer/layer_example_f32.c:905, samples/pyfr/
+pyfr_driver_asp_reg.c).
+"""
+
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import xsmm_tpu as xt
+from xsmm_tpu.ops import fsspmdm, spgemm
+from xsmm_tpu.ops.spmdm import spmdm_init
+from xsmm_tpu.utils.timer import device_bench
+
+import bench as headline_bench
+
+HBM_BW = headline_bench.HBM_BW
+
+
+def _bw() -> float:
+    kind = xt.platform.target_name()
+    return next((v for k, v in HBM_BW.items() if k in kind), 819e9)
+
+
+def _bench_kw():
+    return {} if xt.platform.is_tpu() else dict(iters=4, base_iters=2,
+                                                repeats=1)
+
+
+def config2_pyfr_csr():
+    """CSR sparse-A x dense-B on the reference's own operator matrices."""
+    ref = [
+        "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx",
+        "/root/reference/samples/pyfr/mats/p3/hex/m3-sp.mtx",
+        "/root/reference/samples/pyfr/mats/p2/hex/m6-sp.mtx",
+    ]
+    n = 65536 if xt.platform.is_tpu() else 1024
+    results = []
+    for path in ref:
+        if not os.path.exists(path):
+            continue
+        a = np.asarray(xt.read_mtx(path))
+        m, k = a.shape
+        nnz = int(np.count_nonzero(a))
+        kern = spgemm.create_csr_soa(a, n, dtype="float64")
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal((k, n))
+        # gate at the reference tolerance
+        c = kern(b)
+        xt.check(a @ b, c, 1e-3)
+        bh = jnp.asarray(b, jnp.float32)
+        bl = jnp.asarray(b - np.asarray(b, np.float32), jnp.float32)
+        dt = device_bench(kern._fn, bh, bl, probe="elem", **_bench_kw())
+        flops = 2 * nnz * n
+        # roofline: the kernel streams B(hi+lo) + C(hi+lo) = (k+m)*n*8 bytes
+        nbytes = (k + m) * n * 8
+        roof = flops / nbytes * _bw() / 1e9
+        results.append({
+            "operator": "/".join(path.split("/")[-3:]),
+            "m": m, "k": k, "nnz": nnz, "n": n,
+            "strategy": kern.strategy,
+            "gflops": round(flops / dt / 1e9, 1),
+            "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
+            "achieved_gbps": round(nbytes / dt / 1e9, 1),
+            "roofline_gflops": round(roof, 1),
+            "roofline_frac": round(flops / dt / 1e9 / roof, 3),
+        })
+    return results
+
+
+def config3_fsspmdm():
+    """Fixed-sparsity small operators (CP2K/nek-style blocked panels)."""
+    rng = np.random.default_rng(1)
+    cases = [("cp2k_23x23", 23, 23, 0.30), ("nek_10x10", 10, 10, 0.50),
+             ("seissol_56x9", 56, 9, 0.20)]
+    n = 32768 if xt.platform.is_tpu() else 512
+    results = []
+    for name, m, k, dens in cases:
+        a = np.where(rng.random((m, k)) < dens,
+                     rng.standard_normal((m, k)), 0.0)
+        h = fsspmdm.dfsspmdm_create(m, n, k, a)
+        b = rng.standard_normal((k, n))
+        xt.check(a @ b, h(b), 1e-3)
+        bh = jnp.asarray(b, jnp.float32)
+        bl = jnp.asarray(b - np.asarray(b, np.float32), jnp.float32)
+        dt = device_bench(h.kernel._fn, bh, bl, probe="elem", **_bench_kw())
+        results.append({
+            "case": name, "nnz": h.nnz, "n": n, "strategy": h.strategy,
+            "gnnz_per_s": round(h.nnz * n / dt / 1e9, 2),
+            "gflops": round(2 * h.nnz * n / dt / 1e9, 1),
+        })
+    return results
+
+
+def config4_spmdm():
+    """Dynamic-sparsity sparse-weight x dense-activation."""
+    rng = np.random.default_rng(2)
+    m = k = 1024
+    n = 2048 if xt.platform.is_tpu() else 256
+    results = []
+    for dens in (0.5, 0.1):
+        a = np.where(rng.random((m, k)) < dens,
+                     rng.standard_normal((m, k)), 0.0).astype(np.float32)
+        h = spmdm_init(m, n, k, strategy="auto")
+        s = h.create_sparse_slice(a)
+        b = rng.standard_normal((k, n)).astype(np.float32)
+        c = np.asarray(h.compute(s, b))
+        xt.check(a.astype(np.float64) @ b.astype(np.float64), c, 1e-3)
+        nnz = int(np.count_nonzero(a))
+        if s.kind == "dense":
+            dt = device_bench(h._dense_fn, s.a, jnp.asarray(b), **_bench_kw())
+        else:
+            fn = h._ell_compute_fn(int(s.values.shape[1]))
+            dt = device_bench(fn, s.values, s.cols, jnp.asarray(b),
+                              **_bench_kw())
+        results.append({
+            "density": dens, "m": m, "k": k, "n": n, "nnz": nnz,
+            "chosen_kind": s.kind,
+            "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
+            "gflops": round(2 * nnz * n / dt / 1e9, 1),
+        })
+    return results
+
+
+def config5_packed_blocked():
+    """Packed GETRF + blocked GEMM at 1 device (this box's chip count);
+    the >=2-host scaling efficiency is measured by scaling_bench.py on the
+    virtual mesh (no multi-chip hardware here)."""
+    import scaling_bench
+    out = {"packed_getrf_1dev": scaling_bench.bench_packed_at(1, 16, 4096)}
+    # blocked GEMM single-chip number (DeepBench-ish size), blocked layout
+    from xsmm_tpu.ops import blocked_gemm as bg
+    mm, nn, kk = (2048, 2048, 2048) if xt.platform.is_tpu() else (256,) * 3
+    bs = 256 if xt.platform.is_tpu() else 64
+    h = bg.blocked_gemm_handle(mm, nn, kk, bm=bs, bn=bs, bk=bs,
+                               dtype="bfloat16")
+    rng = np.random.default_rng(3)
+    a_blk = h.copyin_a(rng.standard_normal((mm, kk)).astype(np.float32))
+    b_blk = h.copyin_b(rng.standard_normal((kk, nn)).astype(np.float32))
+    dt = device_bench(h._compute, a_blk, b_blk, **_bench_kw())
+    out["blocked_gemm_1dev"] = {
+        "mnk": [mm, nn, kk], "block": bs, "dtype": "bfloat16",
+        "tflops": round(2 * mm * nn * kk / dt / 1e12, 1),
+    }
+    return out
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        _ROOT, "BENCH_extra.json")
+    xt.enable_compile_cache()
+    out = {
+        "device": xt.platform.target_name(),
+        "config1_f64_smm": headline_bench.run(),
+        "config2_pyfr_csr": config2_pyfr_csr(),
+        "config3_fsspmdm": config3_fsspmdm(),
+        "config4_spmdm": config4_spmdm(),
+        "config5_packed_blocked": config5_packed_blocked(),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,51 @@ def bench_packed_at(n_dev: int, mm: int, batch: int, seed: int = 0):
             "seconds": dt, "gflops": flops / dt / 1e9}
 
 
+def _load_pyfr_op():
+    """Reference PyFR operator if vendored, else a synthetic lookalike."""
+    path = "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx"
+    if os.path.exists(path):
+        return "p3/hex/m6-sp", np.asarray(xt.read_mtx(path))
+    rng = np.random.default_rng(0)
+    a = np.where(rng.random((150, 125)) < 0.11,
+                 rng.standard_normal((150, 125)), 0.0)
+    return "synthetic_150x125", a
+
+
+def _bench_kw():
+    """Interpret-mode (CPU) runs are host-speed: keep chains short there."""
+    return {} if xt.platform.is_tpu() else dict(iters=4, base_iters=2,
+                                                repeats=1)
+
+
+def bench_pyfr_ring(n_dev: int, a: np.ndarray, n: int):
+    """PyFR operator through the ring with the library's unrolled CSR
+    kernels per block (VERDICT r1 #2): 1e-3-gated, nnz/s reported."""
+    m, k = a.shape
+    nnz = int(np.count_nonzero(a))
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((k, n))
+    gold = a @ b
+
+    mesh = make_mesh((1, n_dev), ("dp", "mp"),
+                     devices=jax.devices()[:n_dev])
+    fn = dist_spmm.ring_spmm_csr(mesh, a, n, dtype="float64")
+    kl = -(-k // n_dev)
+    bp = np.zeros((kl * n_dev, n))
+    bp[:k] = b
+    bh = dist_spmm.shard_rows(mesh, jnp.asarray(bp, jnp.float32))
+    bl = dist_spmm.shard_rows(
+        mesh, jnp.asarray(bp - np.asarray(bp, np.float32), jnp.float32))
+    ch, cl = fn(bh, bl)
+    c = (np.asarray(ch, np.float64) + np.asarray(cl, np.float64))[:m]
+    xt.check(gold, c, 1e-3)  # the reference gate
+
+    dt = device_bench(fn, bh, bl, **_bench_kw())
+    return {"devices": n_dev, "nnz": nnz, "seconds": dt,
+            "gnnz_per_s": nnz * n / dt / 1e9,
+            "gflops": 2 * nnz * n / dt / 1e9}
+
+
 def main():
     m, k, n = 512, 512, 8192
     density = 0.10
@@ -95,6 +140,27 @@ def main():
         out["scaled"] = rn
         out["scaling_efficiency"] = rn["gnnz_per_s"] / (
             ndev * r1["gnnz_per_s"])
+
+    # PyFR operator through the unrolled-CSR ring + the local-kernel ratio
+    op_name, op = _load_pyfr_op()
+    n_op = 65536 if xt.platform.is_tpu() else 1024
+    p1 = bench_pyfr_ring(1, op, n_op)
+    from xsmm_tpu.ops import spgemm
+    local = spgemm.create_csr_soa(op, n_op, dtype="float64")
+    rngb = np.random.default_rng(2)
+    b64 = rngb.standard_normal((op.shape[1], n_op))
+    lbh = jnp.asarray(b64, jnp.float32)
+    lbl = jnp.asarray(b64 - np.asarray(b64, np.float32), jnp.float32)
+    ldt = device_bench(local._fn, lbh, lbl, **_bench_kw())
+    local_rate = int(np.count_nonzero(op)) * n_op / ldt / 1e9
+    out["pyfr_ring"] = {"operator": op_name, "n": n_op, "base": p1,
+                        "local_kernel_gnnz_per_s": local_rate,
+                        "ring1_vs_local": p1["gnnz_per_s"] / local_rate}
+    if ndev > 1:
+        pn = bench_pyfr_ring(ndev, op, n_op)
+        out["pyfr_ring"]["scaled"] = pn
+        out["pyfr_ring"]["scaling_efficiency"] = pn["gnnz_per_s"] / (
+            ndev * p1["gnnz_per_s"])
     p1 = bench_packed_at(1, 16, 4096)
     out["packed_getrf"] = {"base": p1}
     if ndev > 1:

@@ -71,11 +71,39 @@ def test_f64_split2_accuracy(rng):
     m = n = k = 23
     a = rng.standard_normal((B, m, k))
     b = rng.standard_normal((B, k, n))
-    kern = xt.dmmdispatch(m, n, k, batch=B, beta=0.0)
-    c = kern(a, b)
+    prev = xt.get_config().f64_strategy
+    try:
+        xt.set_config(f64_strategy="split2")
+        kern = xt.dmmdispatch(m, n, k, batch=B, beta=0.0)
+        c = kern(a, b)
+    finally:
+        xt.set_config(f64_strategy=prev)
     assert c.dtype == np.float64
     info = xt.matdiff(gold_bmm(a, b), c)
     assert info.normf_rel < 1e-5, info.normf_rel
+
+
+@pytest.mark.parametrize("strategy", ["split2", "split2_fast", "float32"])
+def test_f64_strategy_accuracy(rng, strategy):
+    """Every f64 schedule sits ~4 orders inside the 1e-3 gate (the f32
+    hi-accumulator rounding bounds them all; see perf_notes.md)."""
+    m = n = k = 23
+    a = rng.standard_normal((B, m, k))
+    b = rng.standard_normal((B, k, n))
+    c0 = rng.standard_normal((B, m, n))
+    prev = xt.get_config().f64_strategy
+    try:
+        xt.set_config(f64_strategy=strategy)
+        kern = xt.dmmdispatch(m, n, k, batch=B, beta=0.0)
+        c = kern(a, b)
+        kern1 = xt.dmmdispatch(m, n, k, batch=B, beta=1.0)
+        c1 = kern1(a, b, c0)
+    finally:
+        xt.set_config(f64_strategy=prev)
+    assert c.dtype == np.float64
+    gold = gold_bmm(a, b)
+    assert xt.matdiff(gold, c).normf_rel < 1e-6
+    assert xt.matdiff(gold + c0, c1).normf_rel < 1e-6
 
 
 def test_f64_beta_one(rng):

@@ -41,11 +41,15 @@ class Config:
     # a platform other than the one detected.
     target: str = ""
 
-    # FP64 strategy on TPU (no native f64 MXU):
-    #   "split2"  - two-float (hi/lo) split product: 3 f32 matmuls, ~2^-41 rel err
-    #   "float32" - downcast to f32 compute (meets the 1e-3 gate for small K)
-    #   "native"  - rely on XLA f64 emulation (requires jax_enable_x64)
-    f64_strategy: str = "split2"
+    # FP64 strategy on TPU (no native f64 MXU).  See ops/smm.py module
+    # docstring + documentation/perf_notes.md "f64 schedule study": at small
+    # K every f32-accumulating schedule measures ~1e-7 rel-Frobenius (the
+    # hi-accumulator rounding dominates), so the default is the fastest one.
+    #   "split2_fast" - AhBh + AhBl products, lo in scratch (9.9e-8 @ 23^3)
+    #   "split2"      - all three split products, dual output (9.4e-8)
+    #   "float32"     - hi-only product (1.0e-7)
+    #   "native"      - XLA f64 emulation (requires jax_enable_x64)
+    f64_strategy: str = "split2_fast"
 
     # Dispatch cache capacity (reference: 131072-slot registry, libxsmm_main.h:38).
     registry_capacity: int = 131072
@@ -85,7 +89,7 @@ class Config:
         return Config(
             verbose=_env_int("XSMM_VERBOSE", 0),
             target=_env_str("XSMM_TARGET", ""),
-            f64_strategy=_env_str("XSMM_F64", "split2"),
+            f64_strategy=_env_str("XSMM_F64", "split2_fast"),
             registry_capacity=_env_int("XSMM_REGISTRY_CAPACITY", 131072),
             cache_maxsize=_env_int("XSMM_CACHE_MAXSIZE", 4),
             tgemm_m=_env_int("XSMM_TGEMM_M", 0),

@@ -112,6 +112,10 @@ class GemmDescriptor:
     lda: int = 0
     ldb: int = 0
     ldc: int = 0
+    # Compute-variant code (f64 strategy: 0=split2, 1=split2_fast,
+    # 2=float32, 3=native) — part of the key so kernels built under
+    # different strategy configs never alias in the registry.
+    variant: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "in_dtype", _norm_dt(self.in_dtype))
@@ -145,7 +149,7 @@ class GemmDescriptor:
             self.flags,
             dtype_code(self.in_dtype), dtype_code(self.out_dtype),
             self.batch, self.lda, self.ldb, self.ldc,
-            self.prefetch & 0xFF, 0,
+            self.prefetch & 0xFF, self.variant & 0xFF,
         )
 
 

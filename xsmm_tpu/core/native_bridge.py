@@ -74,8 +74,41 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.xsmm_mtx_copy.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_void_p, ctypes.c_void_p]
         lib.xsmm_mtx_free.argtypes = [ctypes.c_void_p]
+        try:  # present when the .so includes spmdm.cpp (rebuilt libs)
+            lib.xsmm_ell_rowmax.restype = ctypes.c_int64
+            lib.xsmm_ell_rowmax.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_float]
+            lib.xsmm_ell_pack.restype = ctypes.c_int64
+            lib.xsmm_ell_pack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_float,
+                                          ctypes.c_int64, ctypes.c_void_p,
+                                          ctypes.c_void_p]
+            lib.xsmm_has_ell = True
+        except AttributeError:
+            lib.xsmm_has_ell = False
         _lib = lib
     return _lib
+
+
+def ell_pack_native(a: np.ndarray, tol: float, round_to: int = 8):
+    """Single-pass C++ ELL pack: (vals, cols, nnz, r) or None.
+
+    a must be float32 row-major [m, k]; r is the max row population rounded
+    up to ``round_to``.
+    """
+    lib = get_lib()
+    if lib is None or not getattr(lib, "xsmm_has_ell", False):
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    m, k = a.shape
+    rmax = lib.xsmm_ell_rowmax(a.ctypes.data_as(ctypes.c_void_p), m, k, tol)
+    r = max(1, -(-max(int(rmax), 1) // round_to) * round_to)
+    vals = np.empty((m, r), np.float32)
+    cols = np.empty((m, r), np.int32)
+    nnz = lib.xsmm_ell_pack(a.ctypes.data_as(ctypes.c_void_p), m, k, tol, r,
+                            vals.ctypes.data_as(ctypes.c_void_p),
+                            cols.ctypes.data_as(ctypes.c_void_p))
+    return vals, cols, int(nnz), r
 
 
 class NativeRegistry:

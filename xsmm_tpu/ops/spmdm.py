@@ -9,17 +9,22 @@ fp32 and bf16-input variants.
 TPU-native design: the structure changes per call, so trace-time unrolling
 is impossible (shapes must be static under jit).  Two strategies:
 
-* **"dense"** (default): the slice phase is a threshold/pass-through and
-  compute is a masked MXU matmul.  At DNN sparsity levels (50-90%) on TPU
-  this is the bandwidth/MXU roofline path — skipping multiplies saves
-  nothing when the MXU is systolic.
+* **"dense"**: the slice phase is a threshold/pass-through and compute is
+  a masked MXU matmul.  At DNN sparsity levels (50-90%) on TPU this is the
+  bandwidth/MXU roofline path — skipping multiplies saves nothing when the
+  MXU is systolic.
 
 * **"ell"**: the slice phase packs A into fixed-width ELL (per-row top-R
   values + column indices, R = max row population rounded up) — static
   shapes, so one compiled kernel serves every structure with the same R cap.
-  Compute gathers B rows by index (XLA dynamic-gather) and accumulates.
-  Wins only at extreme sparsity where reading dense A dominates; provided
-  for parity and for memory-bound regimes.
+  The pack is a vectorized stable-argsort left-pack (no Python row loop;
+  <1ms at 1024x1024 on host).  Compute gathers B rows by index (XLA
+  dynamic-gather) and accumulates.  Wins only at extreme sparsity where
+  reading dense A dominates.
+
+* **"auto"** (default): packs ELL and keeps it only below the measured
+  dense/ELL crossover (SpmdmHandle.ELL_CROSSOVER, measured on v5e — see
+  documentation/perf_notes.md "spmdm crossover"); otherwise dense.
 
 The handle caches compiled fns per (shape, dtype, R) like the reference
 caches its generated code paths per ISA.
@@ -53,7 +58,9 @@ class SpmdmHandle:
     """libxsmm_spmdm_handle analog: fixed (M, N, K, dtypes), dynamic A."""
 
     def __init__(self, m: int, n: int, k: int, in_dtype="float32",
-                 strategy: str = "dense"):
+                 strategy: str = "auto"):
+        if strategy not in ("auto", "dense", "ell"):
+            raise ValueError(f"unknown spmdm strategy: {strategy}")
         self.m, self.n, self.k = m, n, k
         self.in_dtype = jnp.dtype(in_dtype)
         self.strategy = strategy
@@ -63,9 +70,26 @@ class SpmdmHandle:
         self._dense_fn = jax.jit(self._dense_compute)
         self._ell_fns = {}
 
+    # Measured ELL-vs-dense crossover (v5e, M=K=1024 N=2048 f32): the
+    # gather-based ELL compute loses to the HIGHEST-precision dense MXU
+    # matmul at EVERY DNN sparsity level (8.4x slower even at 2% density —
+    # ELL time scales with R * M * N gather traffic while the dense matmul
+    # is one MXU pass); extrapolated break-even is ~0.5% density.  auto
+    # therefore picks dense for everything DNN-shaped (see
+    # documentation/perf_notes.md "spmdm crossover").
+    ELL_CROSSOVER = 0.005
+
     # -- phase 1: createSparseSlice -------------------------------------------
     def create_sparse_slice(self, a, tol: float = 0.0) -> SparseSlice:
-        """Convert dense A [M,K] into the compute representation."""
+        """Convert dense A [M,K] into the compute representation.
+
+        The ELL pack has no Python row loop: a single-pass C++ pack
+        (native/spmdm.cpp, ~1ms at 1024x1024) with a vectorized numpy
+        fallback (~9ms) — usable for per-step dynamic sparsity.
+        strategy="auto" packs ELL only when the padded width R clears the
+        measured crossover; otherwise it falls back to the dense
+        pass-through.
+        """
         if self.strategy == "dense":
             a = jnp.asarray(a, self.in_dtype)
             if tol:
@@ -75,20 +99,55 @@ class SpmdmHandle:
             nnz = jnp.count_nonzero(a)
             return SparseSlice(kind="dense", a=a, nnz=nnz)
 
-        a_np = np.asarray(a)
+        a_np = np.ascontiguousarray(np.asarray(a), np.float32)
+
+        # native single-pass pack (rowmax probe first so "auto" can bail
+        # to dense without packing)
+        from ..core import native_bridge
+        lib = native_bridge.get_lib()
+        if lib is not None and getattr(lib, "xsmm_has_ell", False):
+            import ctypes
+            rmax = lib.xsmm_ell_rowmax(
+                a_np.ctypes.data_as(ctypes.c_void_p),
+                self.m, self.k, float(tol))
+            r = max(1, int(round_up(max(int(rmax), 1), 8)))
+            if self.strategy == "auto" and r > self.ELL_CROSSOVER * self.k:
+                nz = a_np if not tol else np.where(
+                    np.abs(a_np) > tol, a_np, 0)
+                return SparseSlice(kind="dense",
+                                   a=jnp.asarray(nz, self.in_dtype),
+                                   nnz=int(np.count_nonzero(nz)))
+            vals, cols, nnz_total, r = native_bridge.ell_pack_native(
+                a_np, float(tol))
+            return SparseSlice(kind="ell", values=jnp.asarray(vals),
+                               cols=jnp.asarray(cols), nnz=nnz_total)
+
         if tol:
             a_np = np.where(np.abs(a_np) > tol, a_np, 0)
         mask = a_np != 0
         counts = mask.sum(axis=1)
         r = max(1, int(round_up(int(counts.max() or 1), 8)))
+        if self.strategy == "auto" and r > self.ELL_CROSSOVER * self.k:
+            return SparseSlice(kind="dense",
+                               a=jnp.asarray(a_np, self.in_dtype),
+                               nnz=int(counts.sum()))
+        # numpy fallback: left-pack with a computed-position scatter
+        # (row-major np.nonzero order gives position = global index minus
+        # the row's start) — ~9ms at 1024x1024 vs 25ms for a stable-argsort
+        # pack; the reference's analog is the parallel createSparseSlice
+        # (libxsmm_spmdm.c:540)
+        nnz_total = int(counts.sum())
+        rows, colsrc = np.nonzero(mask)
+        row_start = np.concatenate(([0], np.cumsum(counts[:-1])))
+        pos = np.arange(nnz_total) - row_start[rows]
         vals = np.zeros((self.m, r), np.float32)
+        vals[rows, pos] = a_np[mask]
+        # padded cols stay 0 (< K, so the gather is in-bounds; the zero
+        # value annihilates the contribution)
         cols = np.zeros((self.m, r), np.int32)
-        for i in range(self.m):
-            idx = np.nonzero(mask[i])[0]
-            vals[i, :idx.size] = a_np[i, idx]
-            cols[i, :idx.size] = idx
+        cols[rows, pos] = colsrc
         return SparseSlice(kind="ell", values=jnp.asarray(vals),
-                           cols=jnp.asarray(cols), nnz=int(counts.sum()))
+                           cols=jnp.asarray(cols), nnz=nnz_total)
 
     # -- phase 2: compute ------------------------------------------------------
     def _dense_compute(self, a, b):
@@ -124,6 +183,7 @@ class SpmdmHandle:
 
 
 def spmdm_init(m: int, n: int, k: int, in_dtype="float32",
-               strategy: str = "dense") -> SpmdmHandle:
-    """libxsmm_spmdm_init analog."""
+               strategy: str = "auto") -> SpmdmHandle:
+    """libxsmm_spmdm_init analog.  strategy: "auto" (measured ELL/dense
+    crossover), "dense", or "ell"."""
     return SpmdmHandle(m, n, k, in_dtype=in_dtype, strategy=strategy)

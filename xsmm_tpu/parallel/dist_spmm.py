@@ -85,6 +85,113 @@ def ring_spmm(mesh: Mesh, axis: str = "mp", precision=None):
     return jax.jit(_shard_map(local, mesh, (spec, spec), spec))
 
 
+def ring_spmm_csr(mesh: Mesh, a, n: int, axis: str = "mp",
+                  dtype="float32", strategy: str = "auto"):
+    """Ring SpMM whose per-step compute is the library's own trace-unrolled
+    CSR kernel (generator_spgemm_csr_asparse_soa.c analog), not a densified
+    matmul.
+
+    The fixed-structure operator A [M, K] is carved into a d x d grid of
+    sparse blocks at build time; each nonempty block becomes one
+    ``CsrSpgemm`` kernel (registry-cached by structure digest, exactly like
+    single-device dispatch).  At ring step i, device e multiplies its block
+    (e, (e+i) % d) with the resident B panel, then rotates the panel one hop
+    with ppermute.  The sparse structure must be trace-time constant in the
+    SPMD program, so the step's device-dependent block is selected with
+    ``lax.switch`` over ``axis_index`` — all d^2 block kernels are traced
+    once each (total statement count ~nnz, the same budget as one unrolled
+    kernel of the whole operator).
+
+    a: [M, K] numpy dense-with-zeros or Csr (fixed structure, values baked).
+    Returns fn:
+      f32:  fn(b [K, N] sharded P(axis, None)) -> c [M, N] P(axis, None)
+      f64:  fn(bh, bl) -> (ch, cl) — f32 panel pairs, recombine in f64.
+    M and K are padded to multiples of d internally; outputs carry padded M.
+    """
+    from ..ops.spgemm import create_csr_soa
+    from ..utils.mtx import Csr
+
+    d = mesh.shape[axis]
+    a_dense = a.toarray() if isinstance(a, Csr) else np.asarray(a)
+    m, k = a_dense.shape
+    ml, kl = -(-m // d), -(-k // d)
+    a_pad = np.zeros((ml * d, kl * d), a_dense.dtype)
+    a_pad[:m, :k] = a_dense
+    is_f64 = str(dtype) == "float64"
+
+    # one kernel per nonempty block (None = zero block, skipped via a
+    # zeros branch); registry-cached by structure digest
+    kernels = [[None] * d for _ in range(d)]
+    for e in range(d):
+        for j in range(d):
+            blk = a_pad[e * ml:(e + 1) * ml, j * kl:(j + 1) * kl]
+            if np.count_nonzero(blk):
+                kernels[e][j] = create_csr_soa(blk, n, dtype=dtype,
+                                               strategy=strategy)
+
+    perm = [(q, (q - 1) % d) for q in range(d)]
+
+    if not is_f64:
+        def local(b_loc):
+            my = jax.lax.axis_index(axis)
+            c = jnp.zeros((ml, n), jnp.float32)
+            if hasattr(jax.lax, "pvary"):
+                c = jax.lax.pvary(c, (axis,))
+            b_cur = b_loc
+            for i in range(d):
+                branches = []
+                for e in range(d):
+                    kern = kernels[e][(e + i) % d]
+                    if kern is None:
+                        branches.append(
+                            lambda b: jnp.zeros((ml, n), jnp.float32))
+                    else:
+                        branches.append(
+                            lambda b, _k=kern: _k._fn(b).astype(jnp.float32))
+                c = c + (branches[0](b_cur) if d == 1
+                         else jax.lax.switch(my, branches, b_cur))
+                if i < d - 1:
+                    b_cur = jax.lax.ppermute(b_cur, axis, perm=perm)
+            return c
+
+        spec = P(axis, None)
+        # check_vma=False: pallas_call outputs carry no vma info (see
+        # dp_batched_smm); pvary still annotates the accumulators.
+        return jax.jit(_shard_map(local, mesh, (spec,), spec,
+                                  check_vma=False))
+
+    def local64(bh_loc, bl_loc):
+        my = jax.lax.axis_index(axis)
+        ch = jnp.zeros((ml, n), jnp.float32)
+        cl = jnp.zeros((ml, n), jnp.float32)
+        if hasattr(jax.lax, "pvary"):
+            ch = jax.lax.pvary(ch, (axis,))
+            cl = jax.lax.pvary(cl, (axis,))
+        bh_cur, bl_cur = bh_loc, bl_loc
+        for i in range(d):
+            branches = []
+            for e in range(d):
+                kern = kernels[e][(e + i) % d]
+                if kern is None:
+                    branches.append(lambda bh, bl: (
+                        jnp.zeros((ml, n), jnp.float32),
+                        jnp.zeros((ml, n), jnp.float32)))
+                else:
+                    branches.append(lambda bh, bl, _k=kern: _k._fn(bh, bl))
+            hi, lo = (branches[0](bh_cur, bl_cur) if d == 1
+                      else jax.lax.switch(my, branches, bh_cur, bl_cur))
+            ch = ch + hi
+            cl = cl + lo
+            if i < d - 1:
+                bh_cur = jax.lax.ppermute(bh_cur, axis, perm=perm)
+                bl_cur = jax.lax.ppermute(bl_cur, axis, perm=perm)
+        return ch, cl
+
+    spec = P(axis, None)
+    return jax.jit(_shard_map(local64, mesh, (spec, spec), (spec, spec),
+                              check_vma=False))
+
+
 def col_sharded_spmm(mesh: Mesh, axis: str = "mp", precision=None):
     """fn(a, b) -> c with A replicated, B/C column(N)-sharded — zero comm.
 

@@ -42,16 +42,23 @@ def _abstract_args(kernel, desc) -> Tuple:
         m, n, k = desc.m, desc.n, desc.k
         a = jax.ShapeDtypeStruct((m, k, bt), f32)
         b = jax.ShapeDtypeStruct((k, n, bt), f32)
-        if kernel._split2:
+        if kernel.strategy == "split2":
             ops = (a, a, b, b)
+            beta_ops = (jax.ShapeDtypeStruct((m, n, bt), f32),) * 2
+        elif kernel.strategy == "split2_fast":
+            ops = (a, b, b)
+            beta_ops = (jax.ShapeDtypeStruct((m, n, bt), f32),)
+        elif kernel.strategy == "float32":
+            ops = (a, b)
+            beta_ops = (jax.ShapeDtypeStruct((m, n, bt), f32),)
         else:
             dt = jnp.dtype(desc.in_dtype)
             a = jax.ShapeDtypeStruct((m, k, bt), dt)
             b = jax.ShapeDtypeStruct((k, n, bt), dt)
             ops = (a, b)
+            beta_ops = (jax.ShapeDtypeStruct((m, n, bt), dt),)
         if desc.beta:
-            c = jax.ShapeDtypeStruct((m, n, bt), f32)
-            ops = ops + ((c, c) if kernel._split2 else (c,))
+            ops = ops + beta_ops
         return kernel._packed_fn, ops
     if isinstance(kernel, BatchReduceGemm):
         dt = f32 if kernel.is_f64 else jnp.dtype(desc.in_dtype)
