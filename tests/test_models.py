@@ -40,8 +40,10 @@ def test_alexnet_forward():
 
 def test_inception_v3_forward():
     params, fwd = inception_v3(num_classes=10, width=8)
-    # topology check: stem + 3A + RA + 4B + RB + 2C = 11 blocks
-    assert len(params["blocks"]) == 11
+    # topology check: 3A + RA + 4B + RB + 2C = 11 inception blocks
+    assert len(params["_meta"]["kinds"]) == 11
+    # graph check: 11 branch nodes = 11 params entries that are lists
+    assert sum(isinstance(p, list) for p in params["layers"]) == 11
     logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
     assert logits.shape == (2, 10)
     assert bool(jnp.isfinite(logits).all())
@@ -95,7 +97,7 @@ def test_checkpoint_resume_roundtrip():
         eng = MLEngine(params, fwd, SolverConfig(lr=0.01), mesh=mesh,
                        checkpoint_dir=d)
         eng.train_epoch(synthetic_batches(2, 16), verbose=False)
-        w0 = np.asarray(eng.params["fc_w"])
+        w0 = np.asarray(eng.params["layers"][-1]["w"])  # fc weights
         epoch0, step0 = eng.epoch, eng.step
 
         params2, _ = tiny_resnet()
@@ -103,7 +105,7 @@ def test_checkpoint_resume_roundtrip():
                         checkpoint_dir=d)
         assert eng2.resume()
         assert eng2.epoch == epoch0 and eng2.step == step0
-        assert np.allclose(np.asarray(eng2.params["fc_w"]), w0)
+        assert np.allclose(np.asarray(eng2.params["layers"][-1]["w"]), w0)
 
 
 def test_validate():

@@ -1,0 +1,296 @@
+"""Reusable layer nodes + graph-from-config builder — the GxM engine analog.
+
+Reference: samples/deeplearning/gxm/src/Engine.cpp:484-665 builds networks
+from prototxt NodeParameter lists out of reusable layer nodes (ConvXSMM,
+FusedBNormXSMM, Pooling, FullyConnected, Dropout, Split, Eltwise, Concat —
+gxm/src/*.cpp), and the model zoo (AlexNet / ResNet-50 / Inception-v3) is
+expressed as such graphs.
+
+TPU-native: a graph is a list of layer-spec dicts consumed by
+``build_graph`` -> (params pytree, forward fn).  Every compute node runs
+through the framework's OWN DNN layer handles (dnn/conv.py ConvLayer,
+dnn/batchnorm.py FusedBatchNorm, dnn/pooling.py PoolingLayer,
+dnn/fullyconnected.py FullyConnectedLayer) — fuse flags (BIAS/RELU/ELTWISE)
+map onto the handles' fused epilogues.  The handles' forward methods are
+shape-polymorphic (descriptor shapes bind the layer-level bwd/upd, not the
+fwd trace), so a graph built with nominal shapes serves any batch size;
+end-to-end training differentiates the whole forward with jax.grad while
+the per-layer bwd/upd methods remain available for layer-level use.
+
+Spec types (GxM node analog in parens):
+
+  {"type": "conv", "k", "r"[, "s", "stride", "pad", "bias", "relu"]}  (ConvXSMM)
+  {"type": "batchnorm"[, "relu"]}                                (FusedBNormXSMM)
+  {"type": "pooling", "op": "max"|"avg", "r"[, "stride", "pad"]}      (Pooling)
+  {"type": "fc", "k"[, "bias", "relu"]}                        (FullyConnected)
+  {"type": "relu"}                                                     (ReLU)
+  {"type": "dropout", "rate"}                                        (Dropout)
+  {"type": "branch", "paths": [[...], ...], "combine": "concat"|"add"
+      [, "relu"]}                                       (Split + Concat/Eltwise)
+  {"type": "global_avg_pool"} / {"type": "flatten"}
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import (BnDesc, BnFuse, ConvDesc, FCDesc, Format, FuseOp,
+                    PoolingDesc, PoolType)
+from .conv import create_conv_layer
+from .batchnorm import create_fusedbatchnorm
+from .pooling import create_pooling_layer
+from .fullyconnected import create_fullyconnected_layer
+
+
+# ---------------------------------------------------------------------------
+# Reusable functional layer nodes (the Dropout/Eltwise/Split/Concat fns)
+# ---------------------------------------------------------------------------
+
+
+def dropout(x, rate: float, *, key, train: bool):
+    """GxM Dropout node: inverted dropout, identity at inference."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def eltwise_add(a, b, relu: bool = False):
+    """GxM Eltwise node (ELTWISE_OP_SUM), optional fused ReLU."""
+    y = a + b.astype(a.dtype)
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def concat(xs: Sequence[jax.Array], axis: int = -1):
+    """GxM Concat node (channel concat in NHWC)."""
+    return jnp.concatenate(list(xs), axis=axis)
+
+
+def split(x, n: int = 2):
+    """GxM Split node: fan a tensor out to n consumers (pure fan-out)."""
+    return (x,) * n
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2))
+
+
+def flatten(x):
+    return x.reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# Graph builder
+# ---------------------------------------------------------------------------
+
+
+def _he_conv(rng: np.random.Generator, r, s, cin, cout, dtype):
+    # numpy init: one eager jax.random compile per distinct shape costs
+    # ~0.5s/layer on CPU; init determinism only needs the seeded Generator
+    fan_in = max(r * s * cin, 1)
+    w = rng.standard_normal((r, s, cin, cout)) * np.sqrt(2.0 / fan_in)
+    return jnp.asarray(w.astype(np.float32)).astype(jnp.dtype(dtype))
+
+
+class Graph:
+    """A built layer graph: handles + init params + functional forward."""
+
+    def __init__(self, specs: List[Dict[str, Any]],
+                 input_shape: Tuple[int, int, int, int],
+                 dtype: str = "float32", seed: int = 0):
+        self.specs = specs
+        self.dtype = dtype
+        self._rng = np.random.default_rng(seed)
+        self.nodes, self.init_params, self.out_shape = self._build(
+            specs, tuple(input_shape))
+
+    # -- recursive spec walk --------------------------------------------------
+    def _build(self, specs, shape):
+        nodes: List[Callable] = []
+        params: List[Any] = []
+        for spec in specs:
+            t = spec["type"]
+            build = getattr(self, f"_build_{t}", None)
+            if build is None:
+                raise ValueError(f"unknown layer type: {t!r}")
+            node, p, shape = build(spec, shape)
+            nodes.append(node)
+            params.append(p)
+        return nodes, params, shape
+
+    def _build_conv(self, spec, shape):
+        n, h, w, c = shape
+        r = int(spec.get("r", 3))
+        s = int(spec.get("s", r))
+        u = int(spec.get("stride", 1))
+        pad = spec.get("pad", "same")
+        ph, pw = ((r - 1) // 2, (s - 1) // 2) if pad == "same" else \
+            ((0, 0) if pad == "valid" else (int(pad), int(pad)))
+        k = int(spec["k"])
+        fuse = FuseOp.NONE
+        if spec.get("bias"):
+            fuse |= FuseOp.BIAS
+        if spec.get("relu"):
+            fuse |= FuseOp.RELU
+        desc = ConvDesc(n=n, c=c, h=h, w=w, k=k, r=r, s=s, u=u, v=u,
+                        pad_h=ph, pad_w=pw, in_dtype=self.dtype,
+                        out_dtype=self.dtype, fuse_ops=fuse)
+        layer = create_conv_layer(desc)
+        p = {"w": _he_conv(self._rng, r, s, c, k, self.dtype)}
+        if spec.get("bias"):
+            p["b"] = jnp.zeros((k,), jnp.float32)
+
+        def node(p, x, ctx, _l=layer):
+            return _l.forward(x, p["w"], p.get("b"))
+
+        return node, p, (n, desc.out_h, desc.out_w, k)
+
+    def _build_batchnorm(self, spec, shape):
+        n, h, w, c = shape
+        fuse = BnFuse.BN | (BnFuse.RELU if spec.get("relu") else BnFuse.BN)
+        desc = BnDesc(n=n, c=c, h=h, w=w, fuse=fuse, dtype=self.dtype)
+        layer = create_fusedbatchnorm(desc)
+        p = {"gamma": jnp.ones((c,), jnp.float32),
+             "beta": jnp.zeros((c,), jnp.float32)}
+
+        def node(p, x, ctx, _l=layer):
+            y, _state = _l.forward(x, p["gamma"], p["beta"])
+            return y
+
+        return node, p, shape
+
+    def _build_pooling(self, spec, shape):
+        n, h, w, c = shape
+        r = int(spec.get("r", 2))
+        u = int(spec.get("stride", r))
+        pad = spec.get("pad", "same" if u == 2 and r == 3 else "valid")
+        ph = (r - 1) // 2 if pad == "same" else int(0 if pad == "valid"
+                                                    else pad)
+        op = PoolType.MAX if spec.get("op", "max") == "max" else PoolType.AVG
+        desc = PoolingDesc(n=n, c=c, h=h, w=w, r=r, s=r, u=u, v=u,
+                           pad_h=ph, pad_w=ph, pool_type=op,
+                           dtype=self.dtype)
+        layer = create_pooling_layer(desc)
+
+        def node(p, x, ctx, _l=layer):
+            return _l.forward(x)
+
+        return node, None, (n, desc.out_h, desc.out_w, c)
+
+    def _build_fc(self, spec, shape):
+        n = shape[0]
+        cin = int(np.prod(shape[1:]))
+        k = int(spec["k"])
+        fuse = FuseOp.BIAS if spec.get("bias", True) else FuseOp.NONE
+        if spec.get("relu"):
+            fuse |= FuseOp.RELU
+        desc = FCDesc(n=n, c=cin, k=k, in_dtype=self.dtype,
+                      out_dtype=self.dtype, fuse_ops=fuse)
+        layer = create_fullyconnected_layer(desc)
+        p = {"w": jnp.asarray(
+            (self._rng.standard_normal((cin, k)) * np.sqrt(1.0 / cin)
+             ).astype(np.float32)).astype(jnp.dtype(self.dtype))}
+        if spec.get("bias", True):
+            p["b"] = jnp.zeros((k,), jnp.float32)
+        relu = bool(spec.get("relu"))
+
+        def node(p, x, ctx, _l=layer, _relu=relu):
+            if x.ndim > 2:
+                x = flatten(x)
+            out = _l.forward(x, p["w"], p.get("b"))
+            # fused-ReLU fwd returns (y, relu_mask) for the layer-level bwd
+            return out[0] if _relu else out
+
+        return node, p, (n, k)
+
+    def _build_relu(self, spec, shape):
+        def node(p, x, ctx):
+            return jnp.maximum(x, 0.0)
+        return node, None, shape
+
+    def _build_dropout(self, spec, shape):
+        rate = float(spec.get("rate", 0.5))
+
+        def node(p, x, ctx, _rate=rate):
+            if not ctx["train"]:
+                return x
+            if ctx["rng"] is None:
+                raise ValueError("dropout in train mode requires rng")
+            ctx["rng"], sub = jax.random.split(ctx["rng"])
+            return dropout(x, _rate, key=sub, train=True)
+
+        return node, None, shape
+
+    def _build_branch(self, spec, shape):
+        combine = spec.get("combine", "concat")
+        paths = []
+        out_shapes = []
+        sub_params_init = []
+        for path_specs in spec["paths"]:
+            nodes, ps, out = self._build(path_specs, shape)
+            paths.append(nodes)
+            sub_params_init.append(ps)
+            out_shapes.append(out)
+        if combine == "concat":
+            assert all(o[:-1] == out_shapes[0][:-1] for o in out_shapes), \
+                f"concat branches must agree on N,H,W: {out_shapes}"
+            out_shape = out_shapes[0][:-1] + (
+                sum(o[-1] for o in out_shapes),)
+        else:  # add (Eltwise): all shapes identical
+            assert all(o == out_shapes[0] for o in out_shapes), \
+                f"eltwise branches must agree: {out_shapes}"
+            out_shape = out_shapes[0]
+        relu = bool(spec.get("relu"))
+
+        def node(p, x, ctx, _paths=paths, _combine=combine, _relu=relu):
+            outs = []
+            for path_nodes, path_params in zip(_paths, p):
+                y = x
+                for fn, fp in zip(path_nodes, path_params):
+                    y = fn(fp, y, ctx)
+                outs.append(y)
+            if _combine == "concat":
+                y = concat(outs)
+            else:
+                y = outs[0]
+                for o in outs[1:]:
+                    y = eltwise_add(y, o)
+            return jnp.maximum(y, 0.0) if _relu else y
+
+        return node, sub_params_init, out_shape
+
+    def _build_global_avg_pool(self, spec, shape):
+        def node(p, x, ctx):
+            return global_avg_pool(x)
+        return node, None, (shape[0], shape[-1])
+
+    def _build_flatten(self, spec, shape):
+        def node(p, x, ctx):
+            return flatten(x)
+        return node, None, (shape[0], int(np.prod(shape[1:])))
+
+    # -- execution -------------------------------------------------------------
+    def __call__(self, params, x, train: bool = False, rng=None):
+        ctx = {"train": train, "rng": rng}
+        y = x
+        for fn, p in zip(self.nodes, params):
+            y = fn(p, y, ctx)
+        return y
+
+
+def build_graph(specs: List[Dict[str, Any]],
+                input_shape: Tuple[int, int, int, int],
+                dtype: str = "float32", seed: int = 0
+                ) -> Tuple[List[Any], Graph]:
+    """Build a layer graph from specs: returns (init_params, graph).
+
+    The graph object is the forward callable: graph(params, x, train, rng).
+    """
+    g = Graph(specs, input_shape, dtype=dtype, seed=seed)
+    return g.init_params, g

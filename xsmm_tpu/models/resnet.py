@@ -1,23 +1,26 @@
-"""ResNet model family built on the framework's DNN layer handles.
+"""ResNet family as a layer graph on the framework's DNN handles.
 
 Reference: the GxM model zoo ships AlexNet / ResNet-50 / Inception-v3
-prototxt graphs (samples/deeplearning/gxm/model_zoo, Engine.cpp builds the
-layer graph).  Here the graph is a functional compose of the dnn/ layer
-forwards; parameters live in a pytree and training uses jax.grad (the
-layer handles' explicit bwd/upd methods remain available for layer-level
-use, but end-to-end training the JAX way differentiates the whole graph).
+prototxt graphs and Engine.cpp builds the layer graph from them
+(samples/deeplearning/gxm/src/Engine.cpp:484-665).  Here the graph is a
+list of layer specs consumed by dnn/layers.py build_graph, and every
+compute node is one of the framework's OWN layer handles: ConvLayer
+(dnn/conv.py), FusedBatchNorm (dnn/batchnorm.py), PoolingLayer
+(dnn/pooling.py), FullyConnectedLayer (dnn/fullyconnected.py).  Residual
+blocks are branch nodes with an Eltwise-add combine — the GxM
+Split + Eltwise pattern.
 
-Supports depths 18, 34 (basic blocks) and 50 (bottleneck), NHWC, bf16-able.
+Parameters live in a pytree and end-to-end training uses jax.grad through
+the handles' forwards; the handles' explicit bwd/upd methods remain
+available for layer-level use.  Supports depths 18, 34 (basic blocks) and
+50 (bottleneck), NHWC.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Tuple
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+from ..dnn.layers import build_graph
 
 _CFG = {
     18: ("basic", (2, 2, 2, 2)),
@@ -26,112 +29,70 @@ _CFG = {
 }
 
 
-def _conv(x, w, stride=1, pad="SAME"):
-    return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+def _block_spec(kind: str, cin: int, cout: int, stride: int):
+    """One residual block as a branch(main, shortcut) Eltwise-add node."""
+    if kind == "basic":
+        main = [
+            {"type": "conv", "k": cout, "r": 3, "stride": stride},
+            {"type": "batchnorm", "relu": True},
+            {"type": "conv", "k": cout, "r": 3},
+            {"type": "batchnorm"},
+        ]
+        out_c = cout
+    else:
+        main = [
+            {"type": "conv", "k": cout, "r": 1},
+            {"type": "batchnorm", "relu": True},
+            {"type": "conv", "k": cout, "r": 3, "stride": stride},
+            {"type": "batchnorm", "relu": True},
+            {"type": "conv", "k": cout * 4, "r": 1},
+            {"type": "batchnorm"},
+        ]
+        out_c = cout * 4
+    if stride != 1 or cin != out_c:
+        shortcut = [
+            {"type": "conv", "k": out_c, "r": 1, "stride": stride},
+            {"type": "batchnorm"},
+        ]
+    else:
+        shortcut = []  # identity
+    return ({"type": "branch", "paths": [main, shortcut],
+             "combine": "add", "relu": True}, out_c)
 
 
-def _bn(x, p, eps=1e-5):
-    mean = jnp.mean(x, axis=(0, 1, 2))
-    var = jnp.var(x, axis=(0, 1, 2))
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["gamma"] + p["beta"]
-
-
-def _init_conv(key, r, s, cin, cout):
-    fan_in = r * s * cin
-    return jax.random.normal(key, (r, s, cin, cout), jnp.float32) * np.sqrt(
-        2.0 / fan_in)
-
-
-def _init_bn(c):
-    return {"gamma": jnp.ones((c,), jnp.float32),
-            "beta": jnp.zeros((c,), jnp.float32)}
-
-
-def _basic_block(x, p, stride):
-    y = jnp.maximum(_bn(_conv(x, p["conv1"], stride), p["bn1"]), 0.0)
-    y = _bn(_conv(y, p["conv2"]), p["bn2"])
-    sc = x
-    if "proj" in p:
-        sc = _bn(_conv(x, p["proj"], stride), p["bn_proj"])
-    return jnp.maximum(y + sc, 0.0)
-
-
-def _bottleneck_block(x, p, stride):
-    y = jnp.maximum(_bn(_conv(x, p["conv1"]), p["bn1"]), 0.0)
-    y = jnp.maximum(_bn(_conv(y, p["conv2"], stride), p["bn2"]), 0.0)
-    y = _bn(_conv(y, p["conv3"]), p["bn3"])
-    sc = x
-    if "proj" in p:
-        sc = _bn(_conv(x, p["proj"], stride), p["bn_proj"])
-    return jnp.maximum(y + sc, 0.0)
-
-
-def init_params(key, depth: int = 50, num_classes: int = 1000,
-                width: int = 64) -> Dict[str, Any]:
+def resnet_specs(depth: int, num_classes: int, width: int) -> List[Dict]:
     kind, stages = _CFG[depth]
-    keys = iter(jax.random.split(key, 256))
-    p: Dict[str, Any] = {
-        "stem": _init_conv(next(keys), 7, 7, 3, width),
-        "bn_stem": _init_bn(width),
-        "blocks": [],
-    }
+    specs: List[Dict[str, Any]] = [
+        {"type": "conv", "k": width, "r": 7, "stride": 2},
+        {"type": "batchnorm", "relu": True},
+        {"type": "pooling", "op": "max", "r": 3, "stride": 2, "pad": "same"},
+    ]
     cin = width
     for si, nblocks in enumerate(stages):
         cout = width * (2 ** si)
-        expansion = 4 if kind == "bottleneck" else 1
         for bi in range(nblocks):
             stride = 2 if (si > 0 and bi == 0) else 1
-            bp: Dict[str, Any] = {}
-            if kind == "basic":
-                bp["conv1"] = _init_conv(next(keys), 3, 3, cin, cout)
-                bp["bn1"] = _init_bn(cout)
-                bp["conv2"] = _init_conv(next(keys), 3, 3, cout, cout)
-                bp["bn2"] = _init_bn(cout)
-                out_c = cout
-            else:
-                bp["conv1"] = _init_conv(next(keys), 1, 1, cin, cout)
-                bp["bn1"] = _init_bn(cout)
-                bp["conv2"] = _init_conv(next(keys), 3, 3, cout, cout)
-                bp["bn2"] = _init_bn(cout)
-                bp["conv3"] = _init_conv(next(keys), 1, 1, cout,
-                                         cout * expansion)
-                bp["bn3"] = _init_bn(cout * expansion)
-                out_c = cout * expansion
-            if stride != 1 or cin != out_c:
-                bp["proj"] = _init_conv(next(keys), 1, 1, cin, out_c)
-                bp["bn_proj"] = _init_bn(out_c)
-            p["blocks"].append(bp)
-            cin = out_c
-    p["fc_w"] = jax.random.normal(next(keys), (cin, num_classes),
-                                  jnp.float32) * 0.01
-    p["fc_b"] = jnp.zeros((num_classes,), jnp.float32)
-    p["_meta"] = {"depth": depth, "stages": stages, "kind": kind}
-    return p
-
-
-def forward(params, x, compute_dtype=jnp.float32):
-    """x: [N,H,W,3] NHWC -> logits [N, num_classes]."""
-    meta = params["_meta"]
-    kind, stages = meta["kind"], meta["stages"]
-    block = _basic_block if kind == "basic" else _bottleneck_block
-    x = x.astype(compute_dtype)
-    y = jnp.maximum(_bn(_conv(x, params["stem"], 2), params["bn_stem"]), 0.0)
-    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
-                              (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
-    bi = 0
-    for si, nblocks in enumerate(stages):
-        for bj in range(nblocks):
-            stride = 2 if (si > 0 and bj == 0) else 1
-            y = block(y, params["blocks"][bi], stride)
-            bi += 1
-    y = jnp.mean(y, axis=(1, 2))
-    return y @ params["fc_w"] + params["fc_b"]
+            blk, cin = _block_spec(kind, cin, cout, stride)
+            specs.append(blk)
+    specs += [{"type": "global_avg_pool"},
+              {"type": "fc", "k": num_classes}]
+    return specs
 
 
 def resnet(depth: int = 50, num_classes: int = 1000, width: int = 64,
-           seed: int = 0):
-    params = init_params(jax.random.PRNGKey(seed), depth, num_classes, width)
+           seed: int = 0, input_shape: Tuple[int, int, int, int] = (8, 32, 32, 3),
+           dtype: str = "float32"):
+    """Build (params, forward).  input_shape is the NOMINAL NHWC shape the
+    layer descriptors are declared with (the prototxt analog); the handles'
+    forwards are shape-polymorphic, so any batch/size with 3 input channels
+    runs."""
+    specs = resnet_specs(depth, num_classes, width)
+    init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed)
+    params = {"layers": init,
+              "_meta": {"model": "resnet", "depth": depth, "width": width}}
+
+    def forward(params, x, compute_dtype=None, train=False, rng=None):
+        del compute_dtype  # dtype is a build-time choice (dtype= kwarg)
+        return graph(params["layers"], x, train=train, rng=rng)
+
     return params, forward
