@@ -23,7 +23,7 @@ from xsmm_tpu.models.engine import device_synthetic_batches
 
 def main():
     flagvals = set()
-    for flag in ("--ckpt", "--data"):
+    for flag in ("--ckpt", "--data", "--dtype"):
         if flag in sys.argv:
             flagvals.add(sys.argv[sys.argv.index(flag) + 1])
     args = [a for a in sys.argv[1:]
@@ -33,22 +33,29 @@ def main():
         ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
     if "--data" in sys.argv:
         data = sys.argv[sys.argv.index("--data") + 1]
+    # compute dtype: bfloat16 = the native MXU pass (the reference's
+    # BF16 training path analog); float32 = HIGHEST-precision convs
+    dtype = "float32"
+    if "--dtype" in sys.argv:
+        dtype = sys.argv[sys.argv.index("--dtype") + 1]
     model = args[0] if args else "resnet18"
     epochs = int(args[1]) if len(args) > 1 else 2
     batch = int(args[2]) if len(args) > 2 else \
         (256 if xt.platform.is_tpu() else 32)
 
     if model == "alexnet":
-        params, fwd = alexnet(num_classes=100)
+        params, fwd = alexnet(num_classes=100, dtype=dtype)
         hw = 64
     elif model == "inception":
         params, fwd = inception_v3(
-            num_classes=100, width=32 if xt.platform.is_tpu() else 8)
+            num_classes=100, width=32 if xt.platform.is_tpu() else 8,
+            dtype=dtype)
         hw = 128 if xt.platform.is_tpu() else 64
     else:
         depth = int(model.replace("resnet", "") or 18)
         params, fwd = resnet(depth=depth, num_classes=100,
-                             width=64 if xt.platform.is_tpu() else 16)
+                             width=64 if xt.platform.is_tpu() else 16,
+                             dtype=dtype)
         hw = 32
 
     solver = SolverConfig(lr=0.1, lr_policy="poly", max_epochs=epochs)

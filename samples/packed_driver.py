@@ -39,8 +39,32 @@ def main():
     l = np.tril(lu, -1) + np.eye(m)
     xt.check(A, l @ np.triu(lu), 1e-3, what="getrf")
     ap = jnp.asarray(np.transpose(A, (1, 2, 0)).copy())
-    measure(kg._packed_fn, ap, flops=int(2 / 3 * m ** 3) * batch,
-            label=f"getrf {m}x{m} b{batch}", probe="elem")
+    dt = measure(kg._packed_fn, ap, flops=int(2 / 3 * m ** 3) * batch,
+                 label=f"getrf {m}x{m} b{batch}", probe="elem")
+    if xt.platform.is_tpu():
+        # VPU schedule models of the unrolled slice kernel: per pivot k the
+        # trailing update touches (M-k-1) outer rows x ceil((N-k-1)/8)
+        # sublane-regs x bt/128 lane-regs.  Two bounds (perf_notes.md "getrf
+        # schedule"): ALU-only (2 ops: mul+sub) and ALU+mem (adds the
+        # VMEM ld/st of the RMW, which at 2 ALU : 2 mem per vreg cannot
+        # hide behind compute the way the SMM's 8:2 ratio does).  The
+        # kernel lands between them (nearer the mem-aware bound).
+        bt = kg.bt
+        lane_regs = bt // 128
+        alu = mem = 0
+        for k in range(m - 1):
+            r_k = m - k - 1
+            s_k = -(-(m - k - 1) // 8)
+            alu += 2 * r_k * s_k * lane_regs          # trailing mul+sub
+            mem += 2 * r_k * s_k * lane_regs          # trailing ld+st
+            alu += 2 * r_k * lane_regs                # l mul + broadcast
+            mem += 2 * r_k * lane_regs                # l ld+st
+        f = int(2 / 3 * m ** 3) * batch / 1e9
+        alu_s = alu / 4.0 / 0.94e9 * (batch / bt)
+        mem_s = (alu + mem) / 4.0 / 0.94e9 * (batch / bt)
+        print(f"getrf VPU models: ALU-only {f / alu_s:.1f} GF "
+              f"({100 * alu_s / dt:.0f}% achieved), ALU+mem "
+              f"{f / mem_s:.1f} GF ({100 * mem_s / dt:.0f}% achieved)")
     # trsm
     kt = packed.trsm_dispatch(m, m, batch=batch)
     x = np.asarray(kt(A, B), np.float64)

@@ -91,6 +91,42 @@ def test_conv_batch_stats(rng):
                        atol=1e-3)
 
 
+def test_conv_fused_stats_full_set(rng):
+    """MAX_STATS / BATCHNORM_STATS fwd + BATCH_STATS_BWD / ELTWISE_BWD bwd
+    (libxsmm_dnn.h:265-287 parity)."""
+    d = ConvDesc(n=2, c=3, h=5, w=5, k=6, r=1, s=1,
+                 fuse_ops=(FuseOp.BATCH_STATS_FWD | FuseOp.BATCHNORM_STATS
+                           | FuseOp.MAX_STATS))
+    layer = create_conv_layer(d)
+    x = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    wt = rng.standard_normal((1, 1, 3, 6)).astype(np.float32)
+    y, stats = layer.forward(x, wt)
+    y64 = np.asarray(y, np.float64)
+    assert np.allclose(np.asarray(stats.sum), y64.sum((0, 1, 2)), atol=1e-3)
+    assert np.allclose(np.asarray(stats.mean), y64.mean((0, 1, 2)),
+                       atol=1e-4)
+    assert np.allclose(np.asarray(stats.var), y64.var((0, 1, 2)), atol=1e-3)
+    assert np.allclose(np.asarray(stats.absmax),
+                       np.abs(y64).max((0, 1, 2)), atol=1e-4)
+
+    db = ConvDesc(n=2, c=3, h=5, w=5, k=6, r=1, s=1,
+                  fuse_ops=(FuseOp.BATCH_STATS_BWD | FuseOp.ELTWISE_BWD
+                            | FuseOp.MAX_STATS))
+    lb = create_conv_layer(db)
+    dy = rng.standard_normal((2, 5, 5, 6)).astype(np.float32)
+    dx, d_elt, bstats = lb.backward(dy, wt, y=np.asarray(y))
+    # eltwise grad = dy (no relu mask in this fuse set)
+    assert np.allclose(np.asarray(d_elt), dy, atol=1e-6)
+    assert np.allclose(np.asarray(bstats.dbeta), dy.sum((0, 1, 2)),
+                       atol=1e-3)
+    assert np.allclose(np.asarray(bstats.dgamma_y),
+                       (dy * np.asarray(y)).sum((0, 1, 2)), atol=1e-3)
+    assert np.allclose(np.asarray(bstats.dx_absmax),
+                       np.abs(np.asarray(dx)).max((0, 1, 2)), atol=1e-5)
+    with pytest.raises(ValueError):
+        lb.backward(dy, wt)  # y required with BATCH_STATS_BWD
+
+
 @pytest.mark.parametrize("stride,pad", [(1, 1), (2, 1)])
 def test_conv_bwd_upd_vs_autodiff(rng, stride, pad):
     d = ConvDesc(n=2, c=4, h=8, w=8, k=6, r=3, s=3, u=stride, v=stride,

@@ -44,11 +44,23 @@ def _prec(dt):
                                  jnp.dtype(jnp.float64)) else None)
 
 
-class BatchStats(NamedTuple):
-    """Per-channel sums produced by BATCH_STATS_FWD fusion."""
+class BwdStats(NamedTuple):
+    """Fused conv-backward reductions (BATCH_STATS_BWD / MAX_STATS)."""
 
-    sum: jax.Array     # [K]
-    sumsq: jax.Array   # [K]
+    dbeta: jax.Array                      # per-channel sum(dy)
+    dgamma_y: jax.Array                   # per-channel sum(dy * y)
+    dx_absmax: Optional[jax.Array] = None  # per-channel max|dx| (MAX_STATS)
+
+
+class BatchStats(NamedTuple):
+    """Per-channel forward statistics (BATCH_STATS_FWD / BATCHNORM_STATS /
+    MAX_STATS fusions); fields absent from the requested fuse set are None."""
+
+    sum: Optional[jax.Array] = None      # [K]  (BATCH_STATS_FWD)
+    sumsq: Optional[jax.Array] = None    # [K]  (BATCH_STATS_FWD)
+    mean: Optional[jax.Array] = None     # [K]  (BATCHNORM_STATS)
+    var: Optional[jax.Array] = None      # [K]  (BATCHNORM_STATS)
+    absmax: Optional[jax.Array] = None   # [K]  (MAX_STATS)
 
 
 def _to_nhwc(x, fmt: Format):
@@ -83,6 +95,15 @@ class ConvLayer:
         d = desc
         self._pad = ((d.pad_h, d.pad_h), (d.pad_w, d.pad_w))
         self._strides = (d.u, d.v)
+        # Output space-to-depth for narrow-K stride-1 convs: K <= 64 fills
+        # at most half the MXU's 128 output lanes (measured 41% peak at
+        # K=64 vs 97% at K=128 — perf_notes.md "conv emitter study"), so
+        # two adjacent output columns are computed as channel blocks of one
+        # stride-(1,2) conv with an (S+1)-wide kernel: 2x lane fill for
+        # (S+1)/S extra flops.  Measured 81 -> 130 useful TF (1.61x) on the
+        # N32 C64 H56 K64 R3 layer.
+        self._use_s2d = (d.k <= 64 and d.u == 1 and d.v == 1
+                         and d.w >= 2 * d.s)
         self._fwd = jax.jit(self._fwd_impl)
         self._bwd = jax.jit(self._bwd_impl)
         self._upd = jax.jit(self._upd_impl)
@@ -90,12 +111,37 @@ class ConvLayer:
     # -- FWD -----------------------------------------------------------------
     def _fwd_impl(self, x, w, bias=None):
         d = self.desc
-        x = _to_nhwc(x.astype(jnp.dtype(d.in_dtype)), d.buffer_format)
-        w = _to_hwio(w.astype(jnp.dtype(d.in_dtype)), d.filter_format)
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=self._strides, padding=self._pad,
-            dimension_numbers=_DN, precision=_prec(d.in_dtype),
-            preferred_element_type=jnp.float32)
+        in_dt = jnp.dtype(d.in_dtype)
+        x = _to_nhwc(x.astype(in_dt), d.buffer_format)
+        w = _to_hwio(w.astype(in_dt), d.filter_format)
+        # preferred_element_type=f32 with low-precision inputs breaks the
+        # conv transpose rule (f32 cotangent vs bf16 operand dtype error in
+        # jax.grad); the MXU accumulates in f32 internally either way, so
+        # low-precision convs take the native output dtype and upcast for
+        # the epilogue instead.
+        upcast = in_dt == jnp.dtype(jnp.float32)
+        pref = jnp.float32 if upcast else None
+        if self._use_s2d:
+            r, s, c, k = w.shape
+            w2 = jnp.zeros((r, s + 1, c, 2 * k), w.dtype)
+            w2 = w2.at[:, :s, :, :k].set(w)
+            w2 = w2.at[:, 1:, :, k:].set(w)
+            ph, pw = self._pad
+            y2 = jax.lax.conv_general_dilated(
+                x, w2, window_strides=(1, 2),
+                padding=(ph, (pw[0], pw[1] + 1)),
+                dimension_numbers=_DN, precision=_prec(d.in_dtype),
+                preferred_element_type=pref)
+            n_, h_, w_, _ = y2.shape
+            y = y2.reshape(n_, h_, w_, 2, k).reshape(n_, h_, 2 * w_, k)
+            y = y[:, :, :d.out_w]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=self._strides, padding=self._pad,
+                dimension_numbers=_DN, precision=_prec(d.in_dtype),
+                preferred_element_type=pref)
+        if not upcast:
+            y = y.astype(jnp.float32)
         if d.fuse_ops & FuseOp.BIAS:
             if bias is None:
                 raise ValueError("BIAS fusion requires bias operand")
@@ -103,9 +149,19 @@ class ConvLayer:
         if d.fuse_ops & FuseOp.RELU:
             y = jnp.maximum(y, 0.0)
         stats = None
-        if d.fuse_ops & FuseOp.BATCH_STATS_FWD:
-            stats = BatchStats(jnp.sum(y, axis=(0, 1, 2)),
-                               jnp.sum(y * y, axis=(0, 1, 2)))
+        fwd_stats = (FuseOp.BATCH_STATS_FWD | FuseOp.BATCHNORM_STATS
+                     | FuseOp.MAX_STATS)
+        if d.fuse_ops & fwd_stats:
+            fields = {}
+            if d.fuse_ops & FuseOp.BATCH_STATS_FWD:
+                fields["sum"] = jnp.sum(y, axis=(0, 1, 2))
+                fields["sumsq"] = jnp.sum(y * y, axis=(0, 1, 2))
+            if d.fuse_ops & FuseOp.BATCHNORM_STATS:
+                fields["mean"] = jnp.mean(y, axis=(0, 1, 2))
+                fields["var"] = jnp.var(y, axis=(0, 1, 2))
+            if d.fuse_ops & FuseOp.MAX_STATS:
+                fields["absmax"] = jnp.max(jnp.abs(y), axis=(0, 1, 2))
+            stats = BatchStats(**fields)
         y = _from_nhwc(y.astype(jnp.dtype(d.out_dtype)), d.buffer_format)
         return (y, stats) if stats is not None else y
 
@@ -131,22 +187,42 @@ class ConvLayer:
         d = self.desc
         dy = _to_nhwc(dy.astype(jnp.float32), d.buffer_format)
         if y is not None:
+            y = _to_nhwc(y.astype(jnp.float32), d.buffer_format)
+        if y is not None and d.fuse_ops & FuseOp.RELU_BWD:
             # RELU_BWD fusion: mask incoming grads by the forward activation
             # before the transposed conv (fused ReLU-bwd templates analog)
-            y = _to_nhwc(y, d.buffer_format)
             dy = jnp.where(y > 0, dy, 0.0)
+        extras = []
+        if d.fuse_ops & FuseOp.ELTWISE_BWD:
+            # the fused residual add's input gradient is the (masked) dy
+            extras.append(_from_nhwc(dy.astype(jnp.dtype(d.in_dtype)),
+                                     d.buffer_format))
         w = _to_hwio(w.astype(jnp.float32), d.filter_format)
         x0 = jnp.zeros((d.n, d.h, d.w, d.c), jnp.float32)
         _, vjp = jax.vjp(lambda x_: self._plain_conv(x_, w), x0)
-        dx = vjp(dy)[0].astype(jnp.dtype(d.in_dtype))
-        return _from_nhwc(dx, d.buffer_format)
+        dx = vjp(dy)[0]
+        if d.fuse_ops & FuseOp.BATCH_STATS_BWD:
+            stats = BwdStats(
+                dbeta=jnp.sum(dy, axis=(0, 1, 2)),
+                dgamma_y=jnp.sum(dy * y, axis=(0, 1, 2)),
+                dx_absmax=(jnp.max(jnp.abs(dx), axis=(0, 1, 2))
+                           if d.fuse_ops & FuseOp.MAX_STATS else None))
+            extras.append(stats)
+        dx = _from_nhwc(dx.astype(jnp.dtype(d.in_dtype)), d.buffer_format)
+        return (dx, *extras) if extras else dx
 
     def backward(self, dy, w, y=None):
-        """dx; pass y with RELU_BWD fusion to mask by the activation."""
-        if self.desc.fuse_ops & FuseOp.RELU_BWD:
+        """dx; with fusions the return is (dx[, d_eltwise][, BwdStats]).
+
+        Pass y with RELU_BWD (activation mask) or BATCH_STATS_BWD (the
+        fused BN-backward reductions need the forward output)."""
+        needs_y = self.desc.fuse_ops & (FuseOp.RELU_BWD
+                                        | FuseOp.BATCH_STATS_BWD)
+        if needs_y:
             if y is None:
-                raise ValueError("RELU_BWD fusion requires the forward "
-                                 "activation y")
+                raise ValueError(
+                    "RELU_BWD / BATCH_STATS_BWD fusions require the "
+                    "forward activation y")
             return self._bwd(dy, w, y)
         return self._bwd(dy, w)
 

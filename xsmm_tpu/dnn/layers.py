@@ -92,10 +92,13 @@ def flatten(x):
 
 def _he_conv(rng: np.random.Generator, r, s, cin, cout, dtype):
     # numpy init: one eager jax.random compile per distinct shape costs
-    # ~0.5s/layer on CPU; init determinism only needs the seeded Generator
+    # ~0.5s/layer on CPU; init determinism only needs the seeded Generator.
+    # Master weights stay f32 regardless of compute dtype (the handles cast
+    # to their descriptor dtype per call — mixed-precision training keeps
+    # full-precision parameters, the reference's bf16 paths do the same).
     fan_in = max(r * s * cin, 1)
     w = rng.standard_normal((r, s, cin, cout)) * np.sqrt(2.0 / fan_in)
-    return jnp.asarray(w.astype(np.float32)).astype(jnp.dtype(dtype))
+    return jnp.asarray(w.astype(np.float32))
 
 
 class Graph:
@@ -195,7 +198,7 @@ class Graph:
         layer = create_fullyconnected_layer(desc)
         p = {"w": jnp.asarray(
             (self._rng.standard_normal((cin, k)) * np.sqrt(1.0 / cin)
-             ).astype(np.float32)).astype(jnp.dtype(self.dtype))}
+             ).astype(np.float32))}  # f32 master weights (see _he_conv)
         if spec.get("bias", True):
             p["b"] = jnp.zeros((k,), jnp.float32)
         relu = bool(spec.get("relu"))

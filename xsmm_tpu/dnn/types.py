@@ -39,7 +39,20 @@ class Format(enum.IntFlag):
 
 
 class FuseOp(enum.IntFlag):
-    """Conv/FC fusion flags (libxsmm_dnn.h:265-287)."""
+    """Conv/FC fusion flags (libxsmm_dnn.h:265-287).
+
+    Full reference set: BIAS / RELU_FWD / RELU_BWD / BATCH_STATS_FWD /
+    MAX_STATS / BATCH_STATS_BWD / ELTWISE_BWD / BATCHNORM_STATS (+combos).
+    Semantics on TPU (all are XLA-fused epilogues of the conv pass):
+      BATCH_STATS_FWD   fwd also returns per-channel (sum y, sum y^2)
+      BATCHNORM_STATS   fwd also returns per-channel (mean, var) of y
+      MAX_STATS         fwd stats include per-channel max|y|; with
+                        RELU_BWD, bwd stats include max|dx|
+      BATCH_STATS_BWD   bwd also returns (sum dy, sum dy*y) — the fused
+                        BN-backward reductions (dbeta / dgamma inputs)
+      ELTWISE_BWD       bwd also returns the residual-input gradient of a
+                        fused eltwise add (= relu-masked dy)
+    """
 
     NONE = 0
     BIAS = 1
@@ -47,6 +60,10 @@ class FuseOp(enum.IntFlag):
     BIAS_RELU = 3
     BATCH_STATS_FWD = 4
     RELU_BWD = 8
+    MAX_STATS = 16
+    BATCH_STATS_BWD = 32
+    ELTWISE_BWD = 64
+    BATCHNORM_STATS = 128
 
 
 class BnFuse(enum.IntFlag):

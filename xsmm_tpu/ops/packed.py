@@ -60,6 +60,40 @@ def _lane_tile(nbytes_per_lane: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _getrf_kernel_unrolled(m_: int, n_: int):
+    """Trace-time-unrolled pivot loop: k is a Python constant, so the
+    pivot row/column are direct static slices and the rank-1 update only
+    touches the TRAILING submatrix o[k+1:, k+1:] — the slice-based-update
+    discipline of generator_packed_trsm_avx_avx512.c applied to getrf.
+    Replaces the fori-loop kernel's 2-3 full-matrix masked passes per
+    pivot (~8 vreg-ops/element/step) with ~2 ops on a shrinking block.
+    Unroll budget: kmax statements, fine for packed-LA-sized matrices."""
+    kmax = min(m_, n_)
+
+    def kernel(a_ref, o_ref):
+        o_ref[:] = a_ref[:]
+        for k in range(kmax):
+            if k + 1 >= m_:
+                break
+            # one reciprocal per pivot, multiplies elsewhere: a [M-k-1,bt]
+            # vector divide runs at a fraction of mul throughput on the VPU
+            inv = 1.0 / o_ref[k, k]                   # [bt]
+            l = o_ref[k + 1:, k] * inv[None, :]       # [M-k-1, bt]
+            o_ref[k + 1:, k] = l
+            if k + 1 < n_:
+                rk = o_ref[k, k + 1:]                 # [N-k-1, bt]
+                o_ref[k + 1:, k + 1:] = (o_ref[k + 1:, k + 1:]
+                                         - l[:, None, :] * rk[None, :, :])
+
+    return kernel
+
+
+# Above this pivot count the trace-time unroll stops paying (compile time
+# grows ~linearly with kmax; measured crossover well past typical packed
+# sizes) and the fori-loop masked kernel takes over.
+GETRF_UNROLL_MAX = int(__import__("os").environ.get("XSMM_GETRF_UNROLL", 64))
+
+
 def _getrf_kernel(m_: int, n_: int):
     kmax = min(m_, n_)
 
@@ -107,7 +141,9 @@ class GetrfKernel:
         self.is_f64 = desc.dtype == "float64"
         self.bt = _lane_tile(2 * 2 * m_ * n_ * 4)
         bt = self.bt
-        kern = _getrf_kernel(m_, n_)
+        kern = (_getrf_kernel_unrolled(m_, n_)
+                if min(m_, n_) <= GETRF_UNROLL_MAX
+                else _getrf_kernel(m_, n_))
 
         @jax.jit
         def run_packed(ap):
