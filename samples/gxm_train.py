@@ -63,6 +63,21 @@ def main():
     if ckpt and eng.resume():
         print(f"resumed at epoch {eng.epoch}")
 
+    # --augment: device-side JitterData analog (utils/augment.py) applied
+    # to every training batch (pad-crop + mirror + brightness/contrast)
+    aug = None
+    if "--augment" in sys.argv:
+        import jax
+        from xsmm_tpu.utils.augment import make_augment
+        aug = make_augment(crop=hw, pad=4, flip=True,
+                           brightness=0.2, contrast=0.2)
+
+    def with_aug(it, epoch):
+        import jax
+        key = jax.random.PRNGKey(1000 + epoch)
+        for i, (x, y) in enumerate(it):
+            yield aug(jax.random.fold_in(key, i), x), y
+
     batches_per_epoch = 20
     while eng.epoch < epochs:
         if data:
@@ -78,6 +93,8 @@ def main():
         else:
             train_iter = synthetic_batches(batches_per_epoch, batch, hw=hw,
                                            classes=100, seed=eng.epoch)
+        if aug is not None:
+            train_iter = with_aug(train_iter, eng.epoch)
         eng.train_epoch(train_iter)
         metrics = eng.validate(synthetic_batches(4, batch, hw=hw,
                                                  classes=100, seed=999))

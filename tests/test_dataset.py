@@ -84,3 +84,27 @@ def test_engine_integration(dataset):
     out = eng.train_epoch(iter(DataLoader(path, batch=16, epochs=1)),
                           verbose=False)
     assert np.isfinite(out["loss"])
+
+
+def test_augment_pipeline():
+    """JitterData-analog device augmentation (utils/augment.py)."""
+    import jax
+    import jax.numpy as jnp
+    from xsmm_tpu.utils.augment import make_augment
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+    aug = make_augment(crop=16, pad=2, flip=True, brightness=0.2,
+                       contrast=0.2, mean=(0.1, 0.2, 0.3))
+    y = aug(jax.random.PRNGKey(0), x)
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())
+    # different keys give different augmentations; same key is deterministic
+    y2 = aug(jax.random.PRNGKey(1), x)
+    y1b = aug(jax.random.PRNGKey(0), x)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+    assert np.allclose(np.asarray(y), np.asarray(y1b))
+    # crop-only config: every output pixel must come from the padded input
+    aug2 = make_augment(crop=12, pad=0, flip=False)
+    y3 = aug2(jax.random.PRNGKey(2), x)
+    assert y3.shape == (8, 12, 12, 3)

@@ -39,3 +39,28 @@ def test_cli_main(tmp_path, capsys):
                "--code-type", "stablehlo", "--out", out_file])
     assert rc == 0
     assert os.path.getsize(out_file) > 100
+
+
+def test_mnk_utilities():
+    """scripts/libxsmm_utilities.py analog (tools/mnk.py)."""
+    from xsmm_tpu.tools import mnk
+
+    s = mnk.parse_mnk("2 3, 5")
+    assert (2, 3, 2) in s and (3, 3, 3) in s and (5, 5, 5) in s
+    assert (2, 5, 2) not in s  # cross products stay within groups
+
+    axes = mnk.parse_axes("2 4", "3", "")
+    assert (2, 3, 2) in axes and (4, 3, 4) in axes
+
+    idx = mnk.parse_indexes("2_3_4 23_23_23")
+    assert idx == {(2, 3, 4), (23, 23, 23)}
+
+    small = mnk.threshold_filter({(23, 23, 23), (100, 100, 100)})
+    assert small == [(23, 23, 23)]
+
+    spec = mnk.to_aot_shapes([(23, 23, 23)], dtype="float64", batch=512)
+    assert spec == "23x23x23:float64:512"
+    # round-trips through the init-time AOT parser format
+    parts = spec.split(":")
+    m, n, k = (int(x) for x in parts[0].split("x"))
+    assert (m, n, k) == (23, 23, 23) and parts[1] == "float64"
