@@ -98,12 +98,17 @@ class ConvLayer:
         # Output space-to-depth for narrow-K stride-1 convs: K <= 64 fills
         # at most half the MXU's 128 output lanes (measured 41% peak at
         # K=64 vs 97% at K=128 — perf_notes.md "conv emitter study"), so
-        # two adjacent output columns are computed as channel blocks of one
-        # stride-(1,2) conv with an (S+1)-wide kernel: 2x lane fill for
-        # (S+1)/S extra flops.  Measured 81 -> 130 useful TF (1.61x) on the
-        # N32 C64 H56 K64 R3 layer.
-        self._use_s2d = (d.k <= 64 and d.u == 1 and d.v == 1
-                         and d.w >= 2 * d.s)
+        # adjacent output pixels are computed as channel blocks of one
+        # strided conv with a widened kernel: fh*fw x lane fill for
+        # (R+fh-1)(S+fw-1)/(RS) extra flops.  Measured: K=64 W-fold
+        # 81 -> 130 useful TF (1.61x); K=32 2x2 fold 20 -> 47 TF (2.33x).
+        self._fold = (2 if (d.k <= 32 and d.u == 1 and d.h >= 2 * d.r)
+                      else 1,
+                      2 if (d.k <= 64 and d.v == 1 and d.w >= 2 * d.s)
+                      else 1)
+        if d.u != 1 or d.v != 1:
+            self._fold = (1, 1)
+        self._use_s2d = self._fold != (1, 1)
         self._fwd = jax.jit(self._fwd_impl)
         self._bwd = jax.jit(self._bwd_impl)
         self._upd = jax.jit(self._upd_impl)
@@ -122,19 +127,26 @@ class ConvLayer:
         upcast = in_dt == jnp.dtype(jnp.float32)
         pref = jnp.float32 if upcast else None
         if self._use_s2d:
+            fh, fw = self._fold
             r, s, c, k = w.shape
-            w2 = jnp.zeros((r, s + 1, c, 2 * k), w.dtype)
-            w2 = w2.at[:, :s, :, :k].set(w)
-            w2 = w2.at[:, 1:, :, k:].set(w)
+            w2 = jnp.zeros((r + fh - 1, s + fw - 1, c, fh * fw * k),
+                           w.dtype)
+            for dy in range(fh):
+                for dx in range(fw):
+                    blk = (dy * fw + dx) * k
+                    w2 = w2.at[dy:dy + r, dx:dx + s, :,
+                               blk:blk + k].set(w)
             ph, pw = self._pad
             y2 = jax.lax.conv_general_dilated(
-                x, w2, window_strides=(1, 2),
-                padding=(ph, (pw[0], pw[1] + 1)),
+                x, w2, window_strides=(fh, fw),
+                padding=((ph[0], ph[1] + fh - 1), (pw[0], pw[1] + fw - 1)),
                 dimension_numbers=_DN, precision=_prec(d.in_dtype),
                 preferred_element_type=pref)
             n_, h_, w_, _ = y2.shape
-            y = y2.reshape(n_, h_, w_, 2, k).reshape(n_, h_, 2 * w_, k)
-            y = y[:, :, :d.out_w]
+            y = (y2.reshape(n_, h_, w_, fh, fw, k)
+                 .transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(n_, h_ * fh, w_ * fw, k))
+            y = y[:, :d.out_h, :d.out_w]
         else:
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=self._strides, padding=self._pad,

@@ -186,6 +186,29 @@ class GetrfKernel:
 # ---------------------------------------------------------------------------
 
 
+def _trsm_kernel_unrolled(m_: int, n_: int, unit: bool):
+    """Right-looking forward substitution with a trace-time-unrolled row
+    loop: static slices, shrinking trailing update — the getrf slice
+    discipline (see _getrf_kernel_unrolled) applied to TRSM.  Replaces the
+    masked full-matrix reduction per row (measured 580 -> ~1.1 TF at
+    16x16 on v5e)."""
+
+    def kernel(a_ref, b_ref, x_ref):
+        x_ref[:] = b_ref[:]
+        for i in range(m_):
+            xi = x_ref[i]                              # [N, bt]
+            if not unit:
+                inv = 1.0 / a_ref[i, i]                # [bt]
+                xi = xi * inv[None, :]
+                x_ref[i] = xi
+            if i + 1 < m_:
+                col = a_ref[i + 1:, i]                 # [M-i-1, bt]
+                x_ref[i + 1:] = (x_ref[i + 1:]
+                                 - col[:, None, :] * xi[None, :, :])
+
+    return kernel
+
+
 def _trsm_kernel(m_: int, n_: int, unit: bool):
     def kernel(a_ref, b_ref, x_ref):
         rowm = jax.lax.broadcasted_iota(jnp.int32, (m_, 1, 1), 0)
@@ -226,7 +249,8 @@ class TrsmKernel:
         sn = n_ if side == "L" else m_
         self.bt = _lane_tile(2 * (sm * sm + 2 * sm * sn) * 4)
         bt = self.bt
-        kern = _trsm_kernel(sm, sn, unit)
+        kern = (_trsm_kernel_unrolled(sm, sn, unit)
+                if sm <= GETRF_UNROLL_MAX else _trsm_kernel(sm, sn, unit))
 
         @jax.jit
         def run(a, b, alpha=1.0):
