@@ -171,6 +171,51 @@ def config5_packed_blocked():
     return out
 
 
+def dnn_kernels():
+    """Retire the prose DNN perf claims: LSTM / conv / tiled GEMM numbers
+    captured machine-checkably each round (status_r1.md weak #8)."""
+    import jax
+    out = {}
+    # LSTM bf16 fwd (lstm_driver config)
+    from xsmm_tpu.dnn import CellType, RnnDesc, create_rnncell
+    n, c, k, t = (128, 512, 512, 32) if xt.platform.is_tpu() else (4, 8, 8, 2)
+    d = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.LSTM,
+                in_dtype="bfloat16", out_dtype="bfloat16")
+    cell = create_rnncell(d)
+    key = jax.random.PRNGKey(0)
+    xt_ = jax.random.normal(key, (t, n, c), jnp.float32)
+    w = jax.random.normal(key, (c, 4 * k), jnp.float32) * 0.1
+    r = jax.random.normal(key, (k, 4 * k), jnp.float32) * 0.1
+    b = jnp.zeros((4 * k,), jnp.float32)
+    h0 = jnp.zeros((n, k), jnp.float32)
+    c0 = jnp.zeros((n, k), jnp.float32)
+    flops = 2.0 * t * n * (c + k) * 4 * k
+    dt = device_bench(cell._fwd, xt_, w, r, b, h0, c0, **_bench_kw())
+    out["lstm_bf16_fwd_tflops"] = round(flops / dt / 1e12, 1)
+    # conv bf16 (cnnlayer config, space-to-depth active at K=64)
+    from xsmm_tpu.dnn import ConvDesc, create_conv_layer
+    cd = ConvDesc(n=32, c=64, h=56, w=56, k=64, r=3, s=3, u=1, v=1,
+                  pad_h=1, pad_w=1, in_dtype="bfloat16",
+                  out_dtype="bfloat16") if xt.platform.is_tpu() else \
+        ConvDesc(n=2, c=8, h=8, w=8, k=8, r=3, s=3, pad_h=1, pad_w=1,
+                 in_dtype="bfloat16", out_dtype="bfloat16")
+    layer = create_conv_layer(cd)
+    x = jax.random.normal(key, (cd.n, cd.h, cd.w, cd.c), jnp.bfloat16)
+    wt = jax.random.normal(key, (cd.r, cd.s, cd.c, cd.k), jnp.bfloat16)
+    cf = 2.0 * cd.n * cd.out_h * cd.out_w * cd.c * cd.k * cd.r * cd.s
+    dt = device_bench(layer._fwd, x, wt, **_bench_kw())
+    out["conv_bf16_fwd_tflops"] = round(cf / dt / 1e12, 1)
+    # tiled GEMM bf16 (MXU)
+    from xsmm_tpu.ops import tiled_gemm
+    mnk = 4096 if xt.platform.is_tpu() else 256
+    h = tiled_gemm.gemm_handle(mnk, mnk, mnk, in_dtype="bfloat16")
+    a = jax.random.normal(key, (mnk, mnk), jnp.bfloat16)
+    bb = jax.random.normal(key, (mnk, mnk), jnp.bfloat16)
+    dt = device_bench(h._fn, a, bb, probe="elem", **_bench_kw())
+    out["tiled_gemm_bf16_tflops"] = round(2.0 * mnk ** 3 / dt / 1e12, 1)
+    return out
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         _ROOT, "BENCH_extra.json")
@@ -182,6 +227,7 @@ def main():
         "config3_fsspmdm": config3_fsspmdm(),
         "config4_spmdm": config4_spmdm(),
         "config5_packed_blocked": config5_packed_blocked(),
+        "dnn_kernels": dnn_kernels(),
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

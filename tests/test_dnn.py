@@ -91,6 +91,23 @@ def test_conv_batch_stats(rng):
                        atol=1e-3)
 
 
+def test_conv_s2d_shape_polymorphic(rng):
+    """The space-to-depth path must honor RUNTIME shapes: handle forwards
+    are shape-polymorphic (layer graphs run other sizes than the nominal
+    descriptor shape), including odd extents."""
+    d = ConvDesc(n=2, c=4, h=16, w=16, k=8, r=3, s=3, pad_h=1, pad_w=1)
+    layer = create_conv_layer(d)
+    assert layer._use_s2d  # k=8 <= 32: 2x2 fold active
+    wt = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+    for shape in ((2, 24, 24, 4), (1, 17, 19, 4)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = np.asarray(layer.forward(x, wt))
+        gold = conv_gold(jnp.asarray(x, jnp.float64),
+                         jnp.asarray(wt, jnp.float64), (1, 1), (1, 1))
+        assert y.shape == gold.shape
+        xt.check(np.asarray(gold), y, TOL, what=f"s2d conv at {shape}")
+
+
 def test_conv_fused_stats_full_set(rng):
     """MAX_STATS / BATCHNORM_STATS fwd + BATCH_STATS_BWD / ELTWISE_BWD bwd
     (libxsmm_dnn.h:265-287 parity)."""

@@ -146,7 +146,11 @@ class ConvLayer:
             y = (y2.reshape(n_, h_, w_, fh, fw, k)
                  .transpose(0, 1, 3, 2, 4, 5)
                  .reshape(n_, h_ * fh, w_ * fw, k))
-            y = y[:, :d.out_h, :d.out_w]
+            # slice to the RUNTIME output extent (forwards are
+            # shape-polymorphic; the descriptor shape is nominal)
+            oh = x.shape[1] + ph[0] + ph[1] - r + 1
+            ow = x.shape[2] + pw[0] + pw[1] - s + 1
+            y = y[:, :oh, :ow]
         else:
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=self._strides, padding=self._pad,

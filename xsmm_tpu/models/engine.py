@@ -65,6 +65,9 @@ class MLEngine:
                  loss_fn: Callable = softmax_xent,
                  checkpoint_dir: Optional[str] = None,
                  compute_dtype=jnp.float32):
+        # NOTE: for graph-built models (dnn/layers.py) the compute dtype is
+        # chosen at model build time (resnet(..., dtype="bfloat16")); the
+        # compute_dtype kwarg is forwarded but those forwards ignore it.
         self.solver = solver
         self.forward = forward
         self.loss_fn = loss_fn
