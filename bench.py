@@ -90,10 +90,12 @@ def run() -> dict:
     clock = 0.94e9
     n_pad = (n + 7) // 8 * 8
     vregops_per_mk = {"split2": 80, "split2_fast": 52, "float32": 28,
-                      "native": 28}[strategy]
-    cycles = vregops_per_mk * m * k / 4.0 * (batch / 512)
-    vpu_model_s = cycles / clock
-    vpu_model_gflops = flops / vpu_model_s / 1e9 if on_tpu else None
+                      "native": 28}.get(strategy)
+    if on_tpu and vregops_per_mk:
+        cycles = vregops_per_mk * m * k / 4.0 * (batch / 512)
+        vpu_model_gflops = flops / (cycles / clock) / 1e9
+    else:
+        vpu_model_gflops = None
 
     out = {
         "metric": "batched_f64_smm_23x23x23_gflops_per_chip",

@@ -38,15 +38,15 @@ int64_t pack_rows(const float* a, int64_t i0, int64_t i1, int64_t k,
         int64_t p = 0;
         for (int64_t j = 0; j < k; ++j) {
             const float v = row[j];
-            const int64_t keep =
-                static_cast<int64_t>(std::fabs(v) > tol) & (p < r);
-            const int64_t q = p < r ? p : r - 1;  // clamp: self-write when full
             // blind store at the cursor (no load/cmov): a rejected element
             // leaves garbage at position p only, overwritten by the next
-            // kept element or re-zeroed after the loop
-            vo[q] = v;
-            co[q] = static_cast<int32_t>(j);
-            p += keep;
+            // kept element or re-zeroed after the loop.  Break once full —
+            // a rejected trailing element must NOT clobber slot r-1 (a row
+            // whose count equals r would lose its last value otherwise).
+            vo[p] = v;
+            co[p] = static_cast<int32_t>(j);
+            p += static_cast<int64_t>(std::fabs(v) > tol);
+            if (p == r) break;
         }
         if (p < r) {
             vo[p] = 0.0f;

@@ -115,3 +115,22 @@ def test_validate():
     metrics = eng.validate(synthetic_batches(2, 16))
     assert 0.0 <= metrics["acc"] <= 1.0
     assert np.isfinite(metrics["loss"])
+
+
+def test_engine_fires_dropout_nodes():
+    """MLEngine must run graph forwards in train mode (dropout active) —
+    regression: dropout nodes were inert because train/rng never flowed."""
+    params, fwd = alexnet(num_classes=10, input_shape=(4, 64, 64, 3))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.0, weight_decay=0.0,
+                                             momentum=0.0),
+                   mesh=make_mesh((8, 1), ("dp", "mp")))
+    assert eng._train_kwargs  # graph forwards accept train/rng
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (8,)).astype(np.int32)
+    # lr=0: params unchanged; train loss (dropout on) must differ from
+    # eval loss (dropout off) for the same batch
+    out = eng.train_epoch(iter([(x, y)]), verbose=False)
+    ev = eng.validate(iter([(x, y)]))
+    assert not np.isclose(out["loss"], ev["loss"], rtol=1e-6), \
+        (out["loss"], ev["loss"])

@@ -104,3 +104,22 @@ def test_python_registry_uses_native():
     reg.dispatch(d, lambda: "k")
     reg._tls = __import__("threading").local()  # defeat MRU
     assert reg.lookup(d.pack()) is not None
+
+
+def test_ell_pack_row_exactly_full():
+    """A row whose nonzero count equals the padded width r must keep its
+    last value: rejected trailing elements may not clobber slot r-1
+    (regression: the blind-store cursor wrote every post-full rejection
+    at r-1)."""
+    import numpy as np
+    from xsmm_tpu.core import native_bridge
+    if native_bridge.get_lib() is None or not getattr(
+            native_bridge.get_lib(), "xsmm_has_ell", False):
+        import pytest
+        pytest.skip("native library unavailable")
+    a = np.zeros((2, 16), np.float32)
+    a[0, :8] = np.arange(1, 9)  # exactly rowmax=8 nonzeros, zeros after
+    vals, cols, nnz, r = native_bridge.ell_pack_native(a, 0.0)
+    assert r == 8 and nnz == 8
+    assert vals[0, 7] == 8.0 and cols[0, 7] == 7
+    assert (vals[1] == 0).all() and (cols[1] == 0).all()

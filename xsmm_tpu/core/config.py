@@ -72,6 +72,11 @@ class Config:
     # the analog of build-time MNK= static specialization (Makefile:674-700).
     aot_shapes: str = ""
 
+    # Pivot count up to which getrf/trsm trace-time-unroll their pivot
+    # loops into static-slice kernels (6.2x/2.7x measured over the masked
+    # fori kernels; compile time grows ~linearly with the count).
+    getrf_unroll: int = 64
+
     # Batched-SMM backend: "pallas" (lane-packed VPU kernel, default —
     # measurement mechanistically confirmed) or "xla" (batched dot_general
     # on the MXU; measured faster standalone but collapses when composed —
@@ -97,6 +102,7 @@ class Config:
             tgemm_k=_env_int("XSMM_TGEMM_K", 0),
             gemm_threshold=_env_int("XSMM_GEMM_THRESHOLD", 64 * 64 * 64),
             aot_shapes=_env_str("XSMM_AOT_SHAPES", ""),
+            getrf_unroll=_env_int("XSMM_GETRF_UNROLL", 64),
             smm_backend=_env_str("XSMM_SMM_BACKEND", "pallas"),
             interpret=(None if "XSMM_INTERPRET" not in os.environ
                        else bool(_env_int("XSMM_INTERPRET", 0))),

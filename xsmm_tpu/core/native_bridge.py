@@ -90,19 +90,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def ell_pack_native(a: np.ndarray, tol: float, round_to: int = 8):
+def ell_pack_native(a: np.ndarray, tol: float, round_to: int = 8,
+                    r: Optional[int] = None):
     """Single-pass C++ ELL pack: (vals, cols, nnz, r) or None.
 
     a must be float32 row-major [m, k]; r is the max row population rounded
-    up to ``round_to``.
+    up to ``round_to`` — pass a precomputed r (>= rowmax) to skip the
+    rowmax probe pass.
     """
     lib = get_lib()
     if lib is None or not getattr(lib, "xsmm_has_ell", False):
         return None
     a = np.ascontiguousarray(a, np.float32)
     m, k = a.shape
-    rmax = lib.xsmm_ell_rowmax(a.ctypes.data_as(ctypes.c_void_p), m, k, tol)
-    r = max(1, -(-max(int(rmax), 1) // round_to) * round_to)
+    if r is None:
+        rmax = lib.xsmm_ell_rowmax(a.ctypes.data_as(ctypes.c_void_p),
+                                   m, k, tol)
+        r = max(1, -(-max(int(rmax), 1) // round_to) * round_to)
     vals = np.empty((m, r), np.float32)
     cols = np.empty((m, r), np.int32)
     nnz = lib.xsmm_ell_pack(a.ctypes.data_as(ctypes.c_void_p), m, k, tol, r,

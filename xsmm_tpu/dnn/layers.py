@@ -156,7 +156,7 @@ class Graph:
 
     def _build_batchnorm(self, spec, shape):
         n, h, w, c = shape
-        fuse = BnFuse.BN | (BnFuse.RELU if spec.get("relu") else BnFuse.BN)
+        fuse = BnFuse.RELU if spec.get("relu") else BnFuse.BN
         desc = BnDesc(n=n, c=c, h=h, w=w, fuse=fuse, dtype=self.dtype)
         layer = create_fusedbatchnorm(desc)
         p = {"gamma": jnp.ones((c,), jnp.float32),

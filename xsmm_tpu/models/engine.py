@@ -87,6 +87,14 @@ class MLEngine:
 
         self._data_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
+        # graph-built forwards (dnn/layers.py) take train/rng so dropout
+        # nodes fire during training; legacy forwards don't — detect once
+        import inspect
+        try:
+            sig = set(inspect.signature(forward).parameters)
+        except (TypeError, ValueError):
+            sig = set()
+        self._train_kwargs = {"train", "rng"} <= sig
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -95,13 +103,14 @@ class MLEngine:
         return {k: v for k, v in params.items() if not k.startswith("_")}
 
     # -- jitted steps ----------------------------------------------------------
-    def _train_step_impl(self, params, momentum, x, y, lr):
+    def _train_step_impl(self, params, momentum, x, y, lr, rng):
         meta = self.meta
         train = params
 
         def loss(tp):
+            kw = ({"train": True, "rng": rng} if self._train_kwargs else {})
             logits = self.forward({**tp, **meta}, x,
-                                  compute_dtype=self.compute_dtype)
+                                  compute_dtype=self.compute_dtype, **kw)
             return self.loss_fn(logits, y)
 
         lval, grads = jax.value_and_grad(loss)(train)
@@ -141,9 +150,10 @@ class MLEngine:
         for bi, (x, y) in enumerate(batches):
             x = jax.device_put(jnp.asarray(x), self._data_sharding)
             y = jax.device_put(jnp.asarray(y), self._data_sharding)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0xA6), self.step)
             with self.mesh:
                 self.params, self.momentum, loss_val = self._train_step(
-                    self.params, self.momentum, x, y, lr)
+                    self.params, self.momentum, x, y, lr, rng)
             n_images += x.shape[0]
             self.step += 1
             if verbose and bi % log_every == 0:

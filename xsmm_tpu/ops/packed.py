@@ -88,10 +88,14 @@ def _getrf_kernel_unrolled(m_: int, n_: int):
     return kernel
 
 
-# Above this pivot count the trace-time unroll stops paying (compile time
-# grows ~linearly with kmax; measured crossover well past typical packed
-# sizes) and the fori-loop masked kernel takes over.
-GETRF_UNROLL_MAX = int(__import__("os").environ.get("XSMM_GETRF_UNROLL", 64))
+def _unroll_max() -> int:
+    """Pivot count up to which getrf/trsm use the trace-time-unrolled
+    slice kernels (compile time grows ~linearly with kmax; the crossover
+    is well past typical packed sizes).  Read through the config system
+    at dispatch time so set_config / late env changes take effect like
+    every other knob."""
+    from ..core.config import get_config
+    return get_config().getrf_unroll
 
 
 def _getrf_kernel(m_: int, n_: int):
@@ -142,7 +146,7 @@ class GetrfKernel:
         self.bt = _lane_tile(2 * 2 * m_ * n_ * 4)
         bt = self.bt
         kern = (_getrf_kernel_unrolled(m_, n_)
-                if min(m_, n_) <= GETRF_UNROLL_MAX
+                if min(m_, n_) <= _unroll_max()
                 else _getrf_kernel(m_, n_))
 
         @jax.jit
@@ -250,7 +254,7 @@ class TrsmKernel:
         self.bt = _lane_tile(2 * (sm * sm + 2 * sm * sn) * 4)
         bt = self.bt
         kern = (_trsm_kernel_unrolled(sm, sn, unit)
-                if sm <= GETRF_UNROLL_MAX else _trsm_kernel(sm, sn, unit))
+                if sm <= _unroll_max() else _trsm_kernel(sm, sn, unit))
 
         @jax.jit
         def run(a, b, alpha=1.0):

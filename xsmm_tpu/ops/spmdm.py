@@ -118,7 +118,7 @@ class SpmdmHandle:
                                    a=jnp.asarray(nz, self.in_dtype),
                                    nnz=int(np.count_nonzero(nz)))
             vals, cols, nnz_total, r = native_bridge.ell_pack_native(
-                a_np, float(tol))
+                a_np, float(tol), r=r)  # r precomputed: skip the re-probe
             return SparseSlice(kind="ell", values=jnp.asarray(vals),
                                cols=jnp.asarray(cols), nnz=nnz_total)
 

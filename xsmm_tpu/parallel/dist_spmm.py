@@ -106,7 +106,9 @@ def ring_spmm_csr(mesh: Mesh, a, n: int, axis: str = "mp",
     Returns fn:
       f32:  fn(b [K, N] sharded P(axis, None)) -> c [M, N] P(axis, None)
       f64:  fn(bh, bl) -> (ch, cl) — f32 panel pairs, recombine in f64.
-    M and K are padded to multiples of d internally; outputs carry padded M.
+    A's M and K are padded to multiples of d internally; B must arrive with
+    ceil(K/d)*d rows — ``shard_rows`` does exactly that zero-pad — and
+    outputs carry the padded M.
     """
     from ..ops.spgemm import create_csr_soa
     from ..utils.mtx import Csr
