@@ -192,6 +192,9 @@ def dnn_kernels():
     flops = 2.0 * t * n * (c + k) * 4 * k
     dt = device_bench(cell._fwd, xt_, w, r, b, h0, c0, **_bench_kw())
     out["lstm_bf16_fwd_tflops"] = round(flops / dt / 1e12, 1)
+    dhs = jax.random.normal(key, (t, n, k), jnp.float32)
+    dt = device_bench(cell._bwd, xt_, w, r, b, h0, c0, dhs, **_bench_kw())
+    out["lstm_bf16_bwdupd_tflops"] = round(3 * flops / dt / 1e12, 1)
     # conv bf16 (cnnlayer config, space-to-depth active at K=64)
     from xsmm_tpu.dnn import ConvDesc, create_conv_layer
     cd = ConvDesc(n=32, c=64, h=56, w=56, k=64, r=3, s=3, u=1, v=1,

@@ -94,7 +94,10 @@ def test_mtx_native_parse(lib, rng):
 
 
 def test_python_registry_uses_native():
+    from xsmm_tpu.core.config import get_config
     from xsmm_tpu.core.registry import Registry
+    if not get_config().use_native:
+        pytest.skip("native backend disabled (XSMM_NATIVE=0)")
     reg = Registry(capacity=128)
     if native_bridge.get_lib() is None:
         pytest.skip("no native lib")

@@ -47,13 +47,15 @@ class RnnCell:
                CellType.RNN_TANH: jnp.tanh}.get(d.cell_type)
         prec = _prec(d.in_dtype)
 
-        def step(carry, x_t, w, r, b):
+        def step(carry, x_t, w, r, b, wr=None):
             h, c = carry
             if d.cell_type == CellType.LSTM:
-                z = (jnp.matmul(x_t, w, precision=prec,
-                                preferred_element_type=jnp.float32)
-                     + jnp.matmul(h, r, precision=prec,
-                                  preferred_element_type=jnp.float32) + b)
+                # ONE MXU matmul per step: [x_t, h] @ [W; R] — the
+                # batch-reduce-GEMM trick at the layer level (wr is the
+                # pre-concatenated [C+K, 4K] operand, built once per call)
+                z = jnp.matmul(jnp.concatenate([x_t, h], axis=1), wr,
+                               precision=prec,
+                               preferred_element_type=jnp.float32) + b
                 i = jax.nn.sigmoid(z[:, 0 * k:1 * k])
                 g = jnp.tanh(z[:, 1 * k:2 * k])
                 f = jax.nn.sigmoid(z[:, 2 * k:3 * k])
@@ -80,8 +82,11 @@ class RnnCell:
             return (act(z), c)
 
         def fwd(xt, w, r, b, h0, c0):
+            wr = (jnp.concatenate([w, r], axis=0)
+                  if d.cell_type == CellType.LSTM else None)
+
             def body(carry, x_t):
-                nxt = step(carry, x_t.astype(jnp.float32), w, r, b)
+                nxt = step(carry, x_t.astype(jnp.float32), w, r, b, wr)
                 return nxt, nxt[0]
             (h_t, c_t), hs = jax.lax.scan(
                 body, (h0.astype(jnp.float32),
