@@ -79,10 +79,11 @@ class Stats:
             row = self.by_bucket.setdefault(key, {b: 0 for b in self.BUCKETS})
             row[bucket] += 1
 
-    def summary(self) -> str:
+    def summary(self, nbytes: int = 0) -> str:
         lines = ["xsmm_tpu dispatch statistics:",
                  f"  TRY={self.ntry} JIT={self.njit} STA={self.nsta} "
-                 f"COL={self.ncol} HIT={self.ncache_hit}"]
+                 f"COL={self.ncol} HIT={self.ncache_hit}"
+                 + (f" registry~{nbytes / 1024:.0f}KB" if nbytes else "")]
         if self.by_bucket:
             lines.append("  dtype      sml    med    big    xxx")
             for dt, row in sorted(self.by_bucket.items()):
@@ -221,8 +222,15 @@ class Registry:
                 if entry is None:
                     jit = True
                     kernel = builder()
-                    entry = self._insert_locked(
-                        key, RegistryEntry(kernel, descriptor, name))
+                    entry = RegistryEntry(kernel, descriptor, name)
+                    # working-set estimate for the registry-bytes stat
+                    # (the reference reports JIT'd code bytes at exit;
+                    # here "code" is a kernel's VMEM working set)
+                    m = getattr(descriptor, "m", 0)
+                    n = getattr(descriptor, "n", 0)
+                    k0 = getattr(descriptor, "k", 0)
+                    entry.nbytes_est = 4 * (m * k0 + k0 * n + m * n)
+                    entry = self._insert_locked(key, entry)
         m = getattr(descriptor, "m", 1)
         n = getattr(descriptor, "n", 1)
         k = getattr(descriptor, "k", 1)
@@ -251,6 +259,7 @@ class Registry:
         return {
             "capacity": self.capacity,
             "size": len(self._table),
+            "nbytes": sum(e.nbytes_est for e in self._table.values()),
             "native": self._native is not None,
             "ntry": self.stats.ntry,
             "njit": self.stats.njit,
@@ -292,11 +301,11 @@ def finalize(verbose: Optional[bool] = None):
         return
     v = get_config().verbose if verbose is None else verbose
     if v and _REGISTRY.stats.ntry:
-        print(_REGISTRY.stats.summary())
+        print(_REGISTRY.stats.summary(_REGISTRY.info()["nbytes"]))
     _REGISTRY = None
 
 
 @atexit.register
 def _atexit_stats():
     if _REGISTRY is not None and get_config().verbose >= 2 and _REGISTRY.stats.ntry:
-        print(_REGISTRY.stats.summary())
+        print(_REGISTRY.stats.summary(_REGISTRY.info()["nbytes"]))
