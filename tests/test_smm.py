@@ -195,3 +195,27 @@ def test_dispatch_cached():
     k1 = xt.smmdispatch(6, 6, 6, batch=B, beta=0.0)
     k2 = xt.smmdispatch(6, 6, 6, batch=B, beta=0.0)
     assert k1 is k2
+
+
+@pytest.mark.parametrize("strategy", ["split2", "split2_fast", "float32"])
+def test_f64_xlagemm_strategies(rng, strategy):
+    """Large f64 shapes route to XlaGemm (MXU); every strategy schedule
+    must hold the gate there too, with and without the C operand."""
+    m = n = k = 96  # beyond gemm_threshold at batch=1 path? force via threshold
+    prev_s = xt.get_config().f64_strategy
+    prev_t = xt.get_config().gemm_threshold
+    try:
+        xt.set_config(f64_strategy=strategy, gemm_threshold=8)
+        kern = xt.dmmdispatch(m, n, k, batch=4, beta=0.0)
+        from xsmm_tpu.ops.smm import XlaGemm
+        assert isinstance(kern, XlaGemm)
+        a = rng.standard_normal((4, m, k))
+        b = rng.standard_normal((4, k, n))
+        c = kern(a, b)
+        assert c.dtype == np.float64
+        xt.check(gold_bmm(a, b), c, 1e-6)
+        kern1 = xt.dmmdispatch(m, n, k, batch=4, beta=1.0)
+        c0 = rng.standard_normal((4, m, n))
+        xt.check(gold_bmm(a, b) + c0, kern1(a, b, c0), 1e-6)
+    finally:
+        xt.set_config(f64_strategy=prev_s, gemm_threshold=prev_t)
