@@ -12,13 +12,14 @@
 set -u
 cd "$(dirname "$0")/.."
 
-PYTEST="python -m pytest tests/ -q -x $*"
+PYTEST=(python -m pytest tests/ -q -x "$@")
 fail=0
 
 run() {
+    # $1 = label; remaining args = VAR=value env assignments (may be none)
     local label="$1"; shift
     echo "=== ${label}: env $* ==="
-    if env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= "$@" ${PYTEST}; then
+    if env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= "$@" "${PYTEST[@]}"; then
         echo "=== ${label}: OK ==="
     else
         echo "=== ${label}: FAILED ==="
@@ -26,7 +27,7 @@ run() {
     fi
 }
 
-run "default        " true
+run "default        "
 run "no-native      " XSMM_NATIVE=0
 run "f64=split2     " XSMM_F64=split2
 run "f64=float32    " XSMM_F64=float32

@@ -219,3 +219,21 @@ def test_f64_xlagemm_strategies(rng, strategy):
         xt.check(gold_bmm(a, b) + c0, kern1(a, b, c0), 1e-6)
     finally:
         xt.set_config(f64_strategy=prev_s, gemm_threshold=prev_t)
+
+
+@pytest.mark.parametrize("strategy", ["split2", "split2_fast", "float32"])
+def test_f64_batch_reduce_strategies(rng, strategy):
+    """The batch-reduce path honors the f64 schedule config too."""
+    m, n, k = 14, 10, 6
+    nb = 5
+    a = rng.standard_normal((nb, m, k))
+    b = rng.standard_normal((nb, k, n))
+    prev = xt.get_config().f64_strategy
+    try:
+        xt.set_config(f64_strategy=strategy)
+        kern = xt.dmmdispatch_reducebatch(m, n, k, beta=0.0)
+        c = kern(a, b)
+    finally:
+        xt.set_config(f64_strategy=prev)
+    assert c.dtype == np.float64
+    xt.check(gold_bmm(a, b).sum(axis=0), c, 1e-6)

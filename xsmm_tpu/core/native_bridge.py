@@ -95,14 +95,17 @@ def ell_pack_native(a: np.ndarray, tol: float, round_to: int = 8,
     """Single-pass C++ ELL pack: (vals, cols, nnz, r) or None.
 
     a must be float32 row-major [m, k]; r is the max row population rounded
-    up to ``round_to`` — pass a precomputed r (>= rowmax) to skip the
-    rowmax probe pass.
+    up to ``round_to`` — pass a precomputed r (MUST be >= the true rowmax
+    for the same tol, or rows are silently truncated) to skip the rowmax
+    probe pass.
     """
     lib = get_lib()
     if lib is None or not getattr(lib, "xsmm_has_ell", False):
         return None
     a = np.ascontiguousarray(a, np.float32)
     m, k = a.shape
+    if r is not None and r < 1:
+        raise ValueError(f"ell_pack_native: r must be >= 1, got {r}")
     if r is None:
         rmax = lib.xsmm_ell_rowmax(a.ctypes.data_as(ctypes.c_void_p),
                                    m, k, tol)

@@ -225,11 +225,17 @@ class Registry:
                     entry = RegistryEntry(kernel, descriptor, name)
                     # working-set estimate for the registry-bytes stat
                     # (the reference reports JIT'd code bytes at exit;
-                    # here "code" is a kernel's VMEM working set)
+                    # here "code" is a kernel's device working set):
+                    # per-problem operand bytes x batch, with f64 stored
+                    # as f32 hi/lo pairs (8 B/element)
                     m = getattr(descriptor, "m", 0)
                     n = getattr(descriptor, "n", 0)
                     k0 = getattr(descriptor, "k", 0)
-                    entry.nbytes_est = 4 * (m * k0 + k0 * n + m * n)
+                    dt = str(getattr(descriptor, "in_dtype",
+                                     getattr(descriptor, "dtype", "f4")))
+                    isz = 8 if "64" in dt else (2 if "16" in dt else 4)
+                    bat = max(int(getattr(descriptor, "batch", 1)), 1)
+                    entry.nbytes_est = isz * bat * (m * k0 + k0 * n + m * n)
                     entry = self._insert_locked(key, entry)
         m = getattr(descriptor, "m", 1)
         n = getattr(descriptor, "n", 1)

@@ -88,13 +88,22 @@ class MLEngine:
         self._data_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
         # graph-built forwards (dnn/layers.py) take train/rng so dropout
-        # nodes fire during training; legacy forwards don't — detect once
+        # nodes fire during training; legacy forwards don't — detect once.
+        # A **kwargs forward also qualifies, so wrapped forwards don't
+        # silently lose dropout.
         import inspect
         try:
-            sig = set(inspect.signature(forward).parameters)
+            params_ = inspect.signature(forward).parameters
+            self._train_kwargs = (
+                any(p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params_.values())
+                or {"train", "rng"} <= set(params_))
         except (TypeError, ValueError):
-            sig = set()
-        self._train_kwargs = {"train", "rng"} <= sig
+            self._train_kwargs = False
+        # base key built once; folding happens INSIDE the jitted step (an
+        # eager per-batch PRNGKey+fold_in costs two ~25ms tunnel round
+        # trips per batch on remote-device setups)
+        self._base_key = jax.random.PRNGKey(0xA6)
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -103,9 +112,11 @@ class MLEngine:
         return {k: v for k, v in params.items() if not k.startswith("_")}
 
     # -- jitted steps ----------------------------------------------------------
-    def _train_step_impl(self, params, momentum, x, y, lr, rng):
+    def _train_step_impl(self, params, momentum, x, y, lr, step):
         meta = self.meta
         train = params
+        rng = (jax.random.fold_in(self._base_key, step)
+               if self._train_kwargs else None)
 
         def loss(tp):
             kw = ({"train": True, "rng": rng} if self._train_kwargs else {})
@@ -150,10 +161,10 @@ class MLEngine:
         for bi, (x, y) in enumerate(batches):
             x = jax.device_put(jnp.asarray(x), self._data_sharding)
             y = jax.device_put(jnp.asarray(y), self._data_sharding)
-            rng = jax.random.fold_in(jax.random.PRNGKey(0xA6), self.step)
             with self.mesh:
                 self.params, self.momentum, loss_val = self._train_step(
-                    self.params, self.momentum, x, y, lr, rng)
+                    self.params, self.momentum, x, y, lr,
+                    jnp.uint32(self.step))
             n_images += x.shape[0]
             self.step += 1
             if verbose and bi % log_every == 0:
