@@ -52,7 +52,10 @@ def pgemm_dispatch(m: int, n: int, k: int, dtype="float32", batch: int = 1,
 def _lane_tile(nbytes_per_lane: int) -> int:
     budget = 12 * 1024 * 1024
     bt = (budget // max(nbytes_per_lane, 1) // LANES) * LANES
-    return int(max(LANES, min(bt, 1024)))
+    bt = int(max(LANES, min(bt, 1024)))
+    # power-of-two lane tiles only (CLAUDE.md rule 6: non-power-of-two
+    # tiles measured 2-3x slower across kernels)
+    return 1 << (bt.bit_length() - 1)
 
 
 # ---------------------------------------------------------------------------
