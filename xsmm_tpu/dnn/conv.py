@@ -109,21 +109,59 @@ class ConvLayer:
         if d.u != 1 or d.v != 1:
             self._fold = (1, 1)
         self._use_s2d = self._fold != (1, 1)
+        # Route AUTODIFF through the direct/folded backward too: without
+        # this, jax.grad through forward() transposes the s2d conv into a
+        # lane-starved form (measured 47.9 TF where the direct backward
+        # hits 137.8) — end-to-end training would miss the narrow-channel
+        # optimization the explicit backward() has.
+        self._custom_core = (d.u == 1 and d.v == 1
+                             and d.r - 1 - d.pad_h >= 0
+                             and d.s - 1 - d.pad_w >= 0)
+        if self._custom_core:
+            @jax.custom_vjp
+            def core(x, w):
+                return self._core_conv(x, w)
+
+            def core_f(x, w):
+                return self._core_conv(x, w), (x, w)
+
+            def core_b(res, g):
+                x, w = res
+                dx = self._bwd_direct(g, w.astype(jnp.float32))
+                # dw via the conv VJP in w (the upd contraction over
+                # N*H*W — not lane-starved); use a native-output-dtype
+                # conv so the cotangent dtype matches in low precision
+                in_dt = jnp.dtype(self.desc.in_dtype)
+
+                def pc(w_):
+                    return jax.lax.conv_general_dilated(
+                        x, w_, self._strides, self._pad,
+                        dimension_numbers=_DN,
+                        precision=_prec(self.desc.in_dtype))
+
+                _, vjp = jax.vjp(pc, w)
+                dw = vjp(g.astype(in_dt))[0]
+                return dx.astype(x.dtype), dw.astype(w.dtype)
+
+            core.defvjp(core_f, core_b)
+            self._core = core
+        else:
+            self._core = self._core_conv
         self._fwd = jax.jit(self._fwd_impl)
         self._bwd = jax.jit(self._bwd_impl)
         self._upd = jax.jit(self._upd_impl)
 
     # -- FWD -----------------------------------------------------------------
-    def _fwd_impl(self, x, w, bias=None):
+    def _core_conv(self, x, w):
+        """NHWC x, HWIO w (already cast to in_dtype) -> f32 NHWC y.
+
+        preferred_element_type=f32 with low-precision inputs breaks the
+        conv transpose rule (f32 cotangent vs bf16 operand dtype error in
+        jax.grad); the MXU accumulates in f32 internally either way, so
+        low-precision convs take the native output dtype and upcast for
+        the epilogue instead."""
         d = self.desc
         in_dt = jnp.dtype(d.in_dtype)
-        x = _to_nhwc(x.astype(in_dt), d.buffer_format)
-        w = _to_hwio(w.astype(in_dt), d.filter_format)
-        # preferred_element_type=f32 with low-precision inputs breaks the
-        # conv transpose rule (f32 cotangent vs bf16 operand dtype error in
-        # jax.grad); the MXU accumulates in f32 internally either way, so
-        # low-precision convs take the native output dtype and upcast for
-        # the epilogue instead.
         upcast = in_dt == jnp.dtype(jnp.float32)
         pref = jnp.float32 if upcast else None
         if self._use_s2d:
@@ -158,6 +196,14 @@ class ConvLayer:
                 preferred_element_type=pref)
         if not upcast:
             y = y.astype(jnp.float32)
+        return y
+
+    def _fwd_impl(self, x, w, bias=None):
+        d = self.desc
+        in_dt = jnp.dtype(d.in_dtype)
+        x = _to_nhwc(x.astype(in_dt), d.buffer_format)
+        w = _to_hwio(w.astype(in_dt), d.filter_format)
+        y = self._core(x, w)
         if d.fuse_ops & FuseOp.BIAS:
             if bias is None:
                 raise ValueError("BIAS fusion requires bias operand")
@@ -193,6 +239,45 @@ class ConvLayer:
     # hand-schedule — and the VJP formulation handles the strided-output
     # shape ambiguity ((H + 2p - R) % u != 0) that explicit conv_transpose
     # formulas get wrong.
+    def _bwd_direct(self, dy, w):
+        """dx for stride-1 convs as a plain conv of dy with the flipped,
+        C/K-swapped filter — with the same output space-to-depth fold as
+        the forward when C underfills the MXU lanes.  NHWC dy, HWIO w."""
+        d = self.desc
+        in_dt = jnp.dtype(d.in_dtype)
+        wr = jnp.swapaxes(w[::-1, ::-1], 2, 3).astype(in_dt)  # [r,s,k,c]
+        dy = dy.astype(in_dt)
+        r, s, _, c_ = wr.shape
+        p2h, p2w = d.r - 1 - d.pad_h, d.s - 1 - d.pad_w
+        upcast = in_dt == jnp.dtype(jnp.float32)
+        pref = jnp.float32 if upcast else None
+        fh = 2 if (c_ <= 32 and dy.shape[1] >= 2 * r) else 1
+        fw = 2 if (c_ <= 64 and dy.shape[2] >= 2 * s) else 1
+        if fh == 1 and fw == 1:
+            dx = jax.lax.conv_general_dilated(
+                dy, wr, (1, 1), ((p2h, p2h), (p2w, p2w)),
+                dimension_numbers=_DN, precision=_prec(d.in_dtype),
+                preferred_element_type=pref)
+            return dx.astype(jnp.float32)
+        w2 = jnp.zeros((r + fh - 1, s + fw - 1, wr.shape[2],
+                        fh * fw * c_), wr.dtype)
+        for dyo in range(fh):
+            for dxo in range(fw):
+                blk = (dyo * fw + dxo) * c_
+                w2 = w2.at[dyo:dyo + r, dxo:dxo + s, :,
+                           blk:blk + c_].set(wr)
+        y2 = jax.lax.conv_general_dilated(
+            dy, w2, (fh, fw), ((p2h, p2h + fh - 1), (p2w, p2w + fw - 1)),
+            dimension_numbers=_DN, precision=_prec(d.in_dtype),
+            preferred_element_type=pref)
+        n_, h_, w_, _ = y2.shape
+        dx = (y2.reshape(n_, h_, w_, fh, fw, c_)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(n_, h_ * fh, w_ * fw, c_))
+        oh = dy.shape[1] + 2 * p2h - r + 1
+        ow = dy.shape[2] + 2 * p2w - s + 1
+        return dx[:, :oh, :ow].astype(jnp.float32)
+
     def _plain_conv(self, x, w):
         return jax.lax.conv_general_dilated(
             x, w, window_strides=self._strides, padding=self._pad,
@@ -214,9 +299,18 @@ class ConvLayer:
             extras.append(_from_nhwc(dy.astype(jnp.dtype(d.in_dtype)),
                                      d.buffer_format))
         w = _to_hwio(w.astype(jnp.float32), d.filter_format)
-        x0 = jnp.zeros((d.n, d.h, d.w, d.c), jnp.float32)
-        _, vjp = jax.vjp(lambda x_: self._plain_conv(x_, w), x0)
-        dx = vjp(dy)[0]
+        if (d.u == 1 and d.v == 1 and d.r - 1 - d.pad_h >= 0
+                and d.s - 1 - d.pad_w >= 0):
+            # direct transposed-filter conv (bit-exact vs the VJP for
+            # stride 1) so the narrow-C space-to-depth fold applies to the
+            # backward pass too: measured 47.8 -> 137.8 TF bf16 (2.88x) on
+            # the C64/K64 layer, where the VJP formulation is lane-starved
+            # on its C output channels
+            dx = self._bwd_direct(dy, w)
+        else:
+            x0 = jnp.zeros((d.n, d.h, d.w, d.c), jnp.float32)
+            _, vjp = jax.vjp(lambda x_: self._plain_conv(x_, w), x0)
+            dx = vjp(dy)[0]
         if d.fuse_ops & FuseOp.BATCH_STATS_BWD:
             stats = BwdStats(
                 dbeta=jnp.sum(dy, axis=(0, 1, 2)),
