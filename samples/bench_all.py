@@ -208,6 +208,10 @@ def dnn_kernels():
     cf = 2.0 * cd.n * cd.out_h * cd.out_w * cd.c * cd.k * cd.r * cd.s
     dt = device_bench(layer._fwd, x, wt, **_bench_kw())
     out["conv_bf16_fwd_tflops"] = round(cf / dt / 1e12, 1)
+    dyc = jax.random.normal(key, (cd.n, cd.out_h, cd.out_w, cd.k),
+                            jnp.bfloat16)
+    dt = device_bench(layer._bwd, dyc, wt, **_bench_kw())
+    out["conv_bf16_bwd_tflops"] = round(cf / dt / 1e12, 1)
     # tiled GEMM bf16 (MXU)
     from xsmm_tpu.ops import tiled_gemm
     mnk = 4096 if xt.platform.is_tpu() else 256

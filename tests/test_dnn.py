@@ -431,3 +431,31 @@ def test_sync_bn_matches_global_batch(rng):
     xt.check(np.asarray(dx_ref), np.asarray(dx), TOL, what="sync-bn dx")
     xt.check(np.asarray(dg_ref), np.asarray(dg), TOL, what="sync-bn dgamma")
     xt.check(np.asarray(db_ref), np.asarray(db), TOL, what="sync-bn dbeta")
+
+
+def test_conv_custom_vjp_matches_autodiff(rng):
+    """jax.grad through ConvLayer.forward (custom_vjp core: folded direct
+    dx + plain-conv dw) must equal raw-conv autodiff exactly."""
+    d = ConvDesc(n=2, c=4, h=10, w=10, k=8, r=3, s=3, pad_h=1, pad_w=1)
+    layer = create_conv_layer(d)
+    assert layer._custom_core
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 8)), jnp.float32)
+    gx, gw = jax.grad(lambda x_, w_: jnp.sum(layer.forward(x_, w_) ** 2),
+                      argnums=(0, 1))(x, w)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def loss_ref(x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return jnp.sum(y ** 2)
+
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    assert float(jnp.abs(gx - rx).max()) < 1e-4
+    assert float(jnp.abs(gw - rw).max()) < 1e-3
+    # strided convs keep the standard autodiff path
+    ds = ConvDesc(n=2, c=4, h=10, w=10, k=8, r=3, s=3, u=2, v=2,
+                  pad_h=1, pad_w=1)
+    assert not create_conv_layer(ds)._custom_core
