@@ -95,3 +95,28 @@ def test_mmbatch_reroute(rng):
                       np.asarray(a, np.float64))
     xt.check(goldc, np.asarray(c), 1e-3)
     assert calls
+
+
+def test_mmbatch_nested_scope_raises():
+    """Nested interception scopes must raise, not deadlock (ADVICE r2)."""
+    with mb.mmbatch_begin():
+        with pytest.raises(RuntimeError, match="nest"):
+            with mb.mmbatch_begin():
+                pass
+    # flag cleared: a fresh scope works again
+    with mb.mmbatch_begin() as calls:
+        jnp.matmul(jnp.ones((2, 3, 4), jnp.float32),
+                   jnp.ones((2, 4, 5), jnp.float32))
+    assert len(calls) == 1
+
+
+def test_mmbatch_einsum_output_subscripts(rng):
+    """Transposed/reduced einsum outputs are NOT plain matmuls and must
+    pass through unrecorded (ADVICE r2: output subscripts were ignored)."""
+    a = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
+    with mb.mmbatch_begin() as calls:
+        jnp.einsum("ij,jk->ki", a[0], a[0])    # transposed out: skip
+        jnp.einsum("bij,bjk->ik", a, a)        # batch-reduced out: skip
+        jnp.einsum("bij,bjk->bik", a, a)       # plain: recorded
+        jnp.einsum("bij,bjk", a, a)            # implicit out: recorded
+    assert len(calls) == 2

@@ -459,3 +459,40 @@ def test_conv_custom_vjp_matches_autodiff(rng):
     ds = ConvDesc(n=2, c=4, h=10, w=10, k=8, r=3, s=3, u=2, v=2,
                   pad_h=1, pad_w=1)
     assert not create_conv_layer(ds)._custom_core
+
+
+def test_batchnorm_running_stats_eval(rng):
+    """Running-statistics (use_global_stats) regression — VERDICT r2 #1.
+
+    Train path folds batch stats into the Caffe-style moving sums
+    (FusedBNormXSMM.cpp:427-457); eval at batch 1 must normalize with the
+    accumulated global stats, matching a numpy reference computation.
+    """
+    d = BnDesc(n=4, c=6, h=5, w=5, mmf=0.9)
+    bn = create_fusedbatchnorm(d)
+    gamma = rng.standard_normal((6,)).astype(np.float32)
+    beta = rng.standard_normal((6,)).astype(np.float32)
+    running = bn.init_running()
+    gm = np.zeros(6); gv = np.zeros(6); scf = 0.0
+    nhw = 4 * 5 * 5
+    for step in range(3):
+        x = rng.standard_normal((4, 5, 5, 6)).astype(np.float32) * (step + 1)
+        _y, state = bn.forward(x, gamma, beta)
+        running = bn.update_running(running, state)
+        bm = x.astype(np.float64).mean((0, 1, 2))
+        bv = x.astype(np.float64).var((0, 1, 2))
+        gm = gm * 0.9 + bm
+        gv = gv * 0.9 + bv * nhw / (nhw - 1)
+        scf = scf * 0.9 + 1.0
+    xt.check(gm, np.asarray(running.gmean), TOL)
+    xt.check(gv, np.asarray(running.gvar), TOL)
+    assert abs(float(running.scf) - scf) < 1e-6
+
+    # eval at batch 1: global-stats normalization, NOT the batch's own
+    x1 = rng.standard_normal((1, 5, 5, 6)).astype(np.float32)
+    y1 = bn.forward_eval(x1, gamma, beta, running)
+    gold = (x1 - gm / scf) / np.sqrt(gv / scf + d.eps) * gamma + beta
+    xt.check(gold, np.asarray(y1), TOL, what="bn eval batch1")
+    # and it must differ from batch-stat normalization (the old bug)
+    y_batch, _ = bn.forward(x1, gamma, beta)
+    assert float(np.abs(np.asarray(y_batch) - np.asarray(y1)).max()) > 1e-2

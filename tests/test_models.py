@@ -134,3 +134,33 @@ def test_engine_fires_dropout_nodes():
     ev = eng.validate(iter([(x, y)]))
     assert not np.isclose(out["loss"], ev["loss"], rtol=1e-6), \
         (out["loss"], ev["loss"])
+
+
+def test_bn_global_stats_eval(rng=None):
+    """Engine eval must use BN running statistics (VERDICT r2 #1): a
+    deployed model's per-example output cannot depend on what else is in
+    the eval batch, and batch-1 eval must be well-defined."""
+    params, fwd = tiny_resnet()
+    assert getattr(fwd, "init_state", None), "graph must advertise state"
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.05), mesh=mesh)
+    s0 = jax.tree_util.tree_leaves(eng.state)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (16,)).astype(np.int32)
+    for _ in range(3):
+        eng.train_epoch(iter([(x, y)]), verbose=False)
+    s1 = jax.tree_util.tree_leaves(eng.state)
+    assert any(float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 1e-6
+               for a, b in zip(s0, s1)), "running stats never updated"
+
+    # per-example invariance: logits of example 0 alone == in a batch of 8
+    xa = x[:1]
+    la, _ = fwd(eng.params, xa, state=eng.state)
+    lb, _ = fwd(eng.params, x[:8], state=eng.state)
+    assert np.allclose(np.asarray(la[0]), np.asarray(lb[0]), atol=1e-4), \
+        "eval output depends on batch composition (batch-stat BN leak)"
+    # validate reports top-1 and top-5 through the global-stats path
+    m = eng.validate(iter([(x[:8], y[:8])]))
+    assert 0.0 <= m["acc"] <= 1.0 and 0.0 <= m["acc5"] <= 1.0
+    assert m["acc5"] >= m["acc"]

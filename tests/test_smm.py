@@ -237,3 +237,56 @@ def test_f64_batch_reduce_strategies(rng, strategy):
         xt.set_config(f64_strategy=prev)
     assert c.dtype == np.float64
     xt.check(gold_bmm(a, b).sum(axis=0), c, 1e-6)
+
+
+def test_f64_native_strategy(rng):
+    """XSMM_F64=native must run a REAL f64 XLA matmul (ADVICE r2 medium:
+    it silently degraded to hi-only f32).  With x64 enabled the result is
+    exact to f64 matmul; without x64 it must raise, not degrade."""
+    m = n = k = 23
+    a = rng.standard_normal((B, m, k))
+    b = rng.standard_normal((B, k, n))
+    prev = xt.get_config().f64_strategy
+    try:
+        xt.set_config(f64_strategy="native")
+        kern = xt.dmmdispatch(m, n, k, batch=B, beta=0.0)
+        from xsmm_tpu.ops.smm import XlaGemm
+        assert isinstance(kern, XlaGemm)  # no lane-packed f32 remap
+        import jax
+        if not jax.config.jax_enable_x64:
+            with pytest.raises(RuntimeError, match="x64"):
+                kern(a, b)
+            jax.config.update("jax_enable_x64", True)
+        try:
+            c = kern(a, b)
+            gold = np.matmul(a, b)
+            # true f64 compute: ~1e-15 class, far below any split schedule
+            err = np.linalg.norm(c - gold) / np.linalg.norm(gold)
+            assert err < 1e-13, err
+        finally:
+            jax.config.update("jax_enable_x64", False)
+    finally:
+        xt.set_config(f64_strategy=prev)
+
+
+def test_f64_batched_beta1_keeps_c_low_half(rng):
+    """BatchedSMM beta=1 must re-add C's low f32 half host-side (ADVICE
+    r2: split2_fast dropped it, truncating accumulate chains to f32)."""
+    m = n = k = 8
+    a = rng.standard_normal((B, m, k)) * 1e-8
+    b = rng.standard_normal((B, k, n)) * 1e-8
+    c0 = rng.standard_normal((B, m, n))  # |C| >> |A@B|: low half matters
+    prev = xt.get_config().f64_strategy
+    try:
+        xt.set_config(f64_strategy="split2_fast")
+        kern = xt.dmmdispatch(m, n, k, batch=B, beta=1.0)
+        from xsmm_tpu.ops.smm import BatchedSMM
+        assert isinstance(kern, BatchedSMM)
+        c = kern(a, b, c0)
+    finally:
+        xt.set_config(f64_strategy=prev)
+    gold = c0 + np.matmul(a, b)
+    # C's f32-rounding error is ~6e-8 * |C|; keeping the low half must
+    # leave the result at the A@B-rounding scale instead
+    err = np.abs(c - gold).max()
+    assert err < 1e-12, err

@@ -41,8 +41,21 @@ def test_otrans_2d(rng):
 
 
 def test_otrans_tiled_path(rng):
-    # multiples of the 256 tile -> Pallas kernel path
+    # below the 512x512 Pallas gate -> XLA fallback path
     x = rng.standard_normal((512, 256)).astype(np.float32)
+    assert np.array_equal(x.T, np.asarray(xcopy.otrans(x)))
+
+
+def test_otrans_pallas_divisible(rng):
+    # both dims >= the 512 tile, exact multiples -> tiled Pallas kernel
+    x = rng.standard_normal((1024, 512)).astype(np.float32)
+    assert np.array_equal(x.T, np.asarray(xcopy.otrans(x)))
+
+
+def test_otrans_pallas_ragged(rng):
+    # both dims >= 512 and NON-divisible -> ragged Pallas grid with masked
+    # edge blocks (regression: this route previously had zero coverage)
+    x = rng.standard_normal((520, 516)).astype(np.float32)
     assert np.array_equal(x.T, np.asarray(xcopy.otrans(x)))
 
 

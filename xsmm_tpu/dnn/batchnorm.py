@@ -1,12 +1,23 @@
 """Fused batch normalization (fwd + bwd) with eltwise-add / ReLU fusions.
 
 Reference: src/libxsmm_dnn_fusedbatchnorm*.c with fuse flags BN / ELTWISE /
-RELU combos (libxsmm_typedefs.h:378-391).
+RELU combos (libxsmm_typedefs.h:378-391).  Running (global) statistics for
+inference follow the GxM engine exactly (Caffe-style moving sums,
+gxm/src/FusedBNormXSMM.cpp:427-467 and FusedBNorm.hpp:112-136):
+
+  train:  gmean = gmean*mmf + batch_mean
+          gvar  = gvar*mmf  + nhw/(nhw-1) * batch_var      (unbiased)
+          scf   = scf*mmf + 1
+  eval:   mean = gmean/scf;  var = gvar/scf   (use_global_stats path,
+          FusedBNormXSMM.cpp:462-467)
 
 TPU-native: the normalization, residual add, and ReLU are one fused VPU
 epilogue under XLA; batch statistics are psum-able for the data-parallel
 trainer (models/gxm) — pass axis_name to sync stats across the dp mesh axis
-like a cross-replica BN.
+like a cross-replica BN.  Under jit with dp-sharded inputs the plain
+reductions are already global (XLA inserts the collectives), so the running
+sums are replica-consistent without explicit comms (the reference needs the
+MLSL mean/var allreduce in FusedBNorm.cpp:774-798 for the same guarantee).
 """
 
 from __future__ import annotations
@@ -25,6 +36,19 @@ class BnState(NamedTuple):
     inv_std: jax.Array
     x_hat: jax.Array
     relu_mask: Optional[jax.Array]
+
+
+class BnRunning(NamedTuple):
+    """Global-statistics state (gmean/gvar moving sums + scaling factor).
+
+    Mirrors GxM's (tenMeanData_, tenVarData_, scf_) triple: sums are scaled
+    by 1/scf at use, so a fresh state (scf=0) has no history and the very
+    first eval after one train step reproduces that step's batch stats.
+    """
+
+    gmean: jax.Array   # [C] moving sum of batch means
+    gvar: jax.Array    # [C] moving sum of unbiased batch variances
+    scf: jax.Array     # scalar normalizer: sum of mmf^i
 
 
 class FusedBatchNorm:
@@ -87,16 +111,69 @@ class FusedBatchNorm:
 
         self._bwd = jax.jit(bwd)
 
+        def fwd_eval(x, gamma, beta, running: BnRunning, residual=None):
+            # use_global_stats path (FusedBNormXSMM.cpp:462-467): normalize
+            # with gmean/scf, gvar/scf — no batch reductions at all
+            x = x.astype(jnp.float32)
+            # scf==0 means no training history: normalize with the identity
+            # stats (mean 0, var 1 — the standard running-stat init) so an
+            # untrained model evaluates finitely instead of dividing by 0
+            has = running.scf > 0
+            scf = jnp.where(has, running.scf, 1.0)
+            mean = running.gmean / scf
+            var = jnp.where(has, running.gvar / scf, 1.0)
+            inv_std = jax.lax.rsqrt(var + d.eps)
+            y = (x - mean) * inv_std * gamma + beta
+            if d.fuse & BnFuse.ELTWISE:
+                if residual is None:
+                    raise ValueError("ELTWISE fusion requires residual")
+                y = y + residual.astype(jnp.float32)
+            if d.fuse & BnFuse.RELU:
+                y = jnp.maximum(y, 0.0)
+            return y.astype(jnp.dtype(d.dtype))
+
+        self._fwd_eval = jax.jit(fwd_eval)
+
+    def init_running(self) -> BnRunning:
+        """Fresh global-stats state (all-zero sums, scf=0)."""
+        c = self.desc.c
+        return BnRunning(jnp.zeros((c,), jnp.float32),
+                         jnp.zeros((c,), jnp.float32),
+                         jnp.zeros((), jnp.float32))
+
+    def update_running(self, running: BnRunning, state: BnState
+                       ) -> BnRunning:
+        """Fold one train step's batch stats into the moving sums
+        (FusedBNormXSMM.cpp:427-457; nhw_ratio is the unbiased-variance
+        correction nhw/(nhw-1))."""
+        d = self.desc
+        nhw = d.n * d.h * d.w
+        ratio = jnp.float32(nhw / max(nhw - 1, 1))
+        return BnRunning(
+            running.gmean * d.mmf + state.mean,
+            running.gvar * d.mmf + ratio * state.var,
+            running.scf * d.mmf + 1.0)
+
     def forward(self, x, gamma, beta, residual=None):
         if residual is not None:
             return self._fwd(x, gamma, beta, residual)
         return self._fwd(x, gamma, beta)
+
+    def forward_eval(self, x, gamma, beta, running: BnRunning,
+                     residual=None):
+        """Inference forward using the global statistics."""
+        if residual is not None:
+            return self._fwd_eval(x, gamma, beta, running, residual)
+        return self._fwd_eval(x, gamma, beta, running)
 
     def backward(self, dy, gamma, state):
         return self._bwd(dy, gamma, state)
 
     def execute(self, kind: Kind, **t):
         if kind == Kind.FWD:
+            if "running" in t:
+                return self.forward_eval(t["input"], t["gamma"], t["beta"],
+                                         t["running"], t.get("residual"))
             return self.forward(t["input"], t["gamma"], t["beta"],
                                 t.get("residual"))
         if kind == Kind.BWD:

@@ -102,7 +102,16 @@ def _he_conv(rng: np.random.Generator, r, s, cin, cout, dtype):
 
 
 class Graph:
-    """A built layer graph: handles + init params + functional forward."""
+    """A built layer graph: handles + init params + functional forward.
+
+    Stateful layers (batchnorm running statistics — the GxM
+    use_global_stats machinery, FusedBNormXSMM.cpp:427-467) keep their
+    state in ``init_state``, a flat dict keyed by node id.  ``apply``
+    threads it: train folds each step's batch stats into the moving sums,
+    eval normalizes with the global stats (correct at batch size 1).
+    Calling the graph directly (``__call__``) uses batch statistics
+    unconditionally — the stateless legacy path.
+    """
 
     def __init__(self, specs: List[Dict[str, Any]],
                  input_shape: Tuple[int, int, int, int],
@@ -110,6 +119,8 @@ class Graph:
         self.specs = specs
         self.dtype = dtype
         self._rng = np.random.default_rng(seed)
+        self.init_state: Dict[str, Any] = {}
+        self._n_stateful = 0
         self.nodes, self.init_params, self.out_shape = self._build(
             specs, tuple(input_shape))
 
@@ -161,9 +172,17 @@ class Graph:
         layer = create_fusedbatchnorm(desc)
         p = {"gamma": jnp.ones((c,), jnp.float32),
              "beta": jnp.zeros((c,), jnp.float32)}
+        key = f"bn{self._n_stateful}"
+        self._n_stateful += 1
+        self.init_state[key] = layer.init_running()
 
-        def node(p, x, ctx, _l=layer):
-            y, _state = _l.forward(x, p["gamma"], p["beta"])
+        def node(p, x, ctx, _l=layer, _key=key):
+            st = ctx.get("state")
+            if st is not None and not ctx["train"]:
+                return _l.forward_eval(x, p["gamma"], p["beta"], st[_key])
+            y, bstate = _l.forward(x, p["gamma"], p["beta"])
+            if st is not None:
+                ctx["new_state"][_key] = _l.update_running(st[_key], bstate)
             return y
 
         return node, p, shape
@@ -285,6 +304,40 @@ class Graph:
         for fn, p in zip(self.nodes, params):
             y = fn(p, y, ctx)
         return y
+
+    def apply(self, params, state: Dict[str, Any], x,
+              train: bool = False, rng=None):
+        """Stateful forward: returns (y, new_state).
+
+        train=True: batch-stat normalization + moving-sum update (GxM
+        TRAIN mode); train=False: global-stats normalization (GxM
+        TEST/VAL mode — use_global_stats)."""
+        ctx = {"train": train, "rng": rng, "state": state, "new_state": {}}
+        y = x
+        for fn, p in zip(self.nodes, params):
+            y = fn(p, y, ctx)
+        new_state = {**state, **ctx["new_state"]} if train else state
+        return y, new_state
+
+
+def make_model_forward(graph: Graph, key: str = "layers"):
+    """Wrap a Graph as a model-level forward for MLEngine.
+
+    The returned callable has the legacy signature; the stateful path
+    (running BN statistics) is exposed via ``state=`` and advertised to
+    the engine through the attached ``init_state``.
+    """
+
+    def forward(params, x, compute_dtype=None, train=False, rng=None,
+                state=None):
+        del compute_dtype  # dtype is a build-time choice (dtype= kwarg)
+        if state is not None:
+            return graph.apply(params[key], state, x, train=train, rng=rng)
+        return graph(params[key], x, train=train, rng=rng)
+
+    forward.graph = graph
+    forward.init_state = graph.init_state
+    return forward
 
 
 def build_graph(specs: List[Dict[str, Any]],

@@ -173,6 +173,9 @@ class BnDesc:
     eps: float = 1e-5
     fuse: BnFuse = BnFuse.BN
     dtype: str = "float32"
+    # global-stats momentum factor (FusedBNorm.hpp mmf_; gxm model
+    # prototxts use 0.9): running sums decay by mmf per train step
+    mmf: float = 0.9
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,9 +41,5 @@ def alexnet(num_classes: int = 1000, seed: int = 0,
     init, graph = build_graph(alexnet_specs(num_classes), input_shape,
                               dtype=dtype, seed=seed)
     params = {"layers": init, "_meta": {"model": "alexnet"}}
-
-    def forward(params, x, compute_dtype=None, train=False, rng=None):
-        del compute_dtype
-        return graph(params["layers"], x, train=train, rng=rng)
-
-    return params, forward
+    from ..dnn.layers import make_model_forward
+    return params, make_model_forward(graph)

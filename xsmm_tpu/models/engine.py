@@ -104,6 +104,13 @@ class MLEngine:
         # eager per-batch PRNGKey+fold_in costs two ~25ms tunnel round
         # trips per batch on remote-device setups)
         self._base_key = jax.random.PRNGKey(0xA6)
+        # stateful models (graph-built nets with batchnorm) advertise
+        # their running-statistics state; the engine threads it through
+        # train (moving-sum update) and eval (use_global_stats path) —
+        # the GxM TRAIN vs TEST/VAL execution-mode switch
+        init_state = getattr(forward, "init_state", None)
+        self._stateful = bool(init_state)
+        self.state = dict(init_state) if self._stateful else None
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -112,7 +119,7 @@ class MLEngine:
         return {k: v for k, v in params.items() if not k.startswith("_")}
 
     # -- jitted steps ----------------------------------------------------------
-    def _train_step_impl(self, params, momentum, x, y, lr, step):
+    def _train_step_impl(self, params, momentum, state, x, y, lr, step):
         meta = self.meta
         train = params
         rng = (jax.random.fold_in(self._base_key, step)
@@ -120,11 +127,18 @@ class MLEngine:
 
         def loss(tp):
             kw = ({"train": True, "rng": rng} if self._train_kwargs else {})
-            logits = self.forward({**tp, **meta}, x,
-                                  compute_dtype=self.compute_dtype, **kw)
-            return self.loss_fn(logits, y)
+            if self._stateful:
+                logits, new_state = self.forward(
+                    {**tp, **meta}, x, compute_dtype=self.compute_dtype,
+                    state=state, **kw)
+            else:
+                logits = self.forward({**tp, **meta}, x,
+                                      compute_dtype=self.compute_dtype, **kw)
+                new_state = state
+            return self.loss_fn(logits, y), new_state
 
-        lval, grads = jax.value_and_grad(loss)(train)
+        (lval, new_state), grads = jax.value_and_grad(
+            loss, has_aux=True)(train)
         cfg = self.solver
 
         def upd(p, m, g):
@@ -142,13 +156,24 @@ class MLEngine:
             new_m.append(m2)
         train2 = jax.tree_util.tree_unflatten(treedef, new_p)
         mom2 = jax.tree_util.tree_unflatten(treedef, new_m)
-        return train2, mom2, lval
+        return train2, mom2, new_state, lval
 
-    def _eval_step_impl(self, params, x, y):
-        logits = self.forward({**params, **self.meta}, x,
-                              compute_dtype=self.compute_dtype)
+    def _eval_step_impl(self, params, state, x, y):
+        if self._stateful:
+            # GxM TEST/VAL mode: global statistics, no state update
+            logits, _ = self.forward({**params, **self.meta}, x,
+                                     compute_dtype=self.compute_dtype,
+                                     state=state)
+        else:
+            logits = self.forward({**params, **self.meta}, x,
+                                  compute_dtype=self.compute_dtype)
         acc = jnp.mean((jnp.argmax(logits, axis=1) == y).astype(jnp.float32))
-        return self.loss_fn(logits, y), acc
+        # top-5 (Engine.cpp:642 validation / Accuracy.cpp analog)
+        k = min(5, logits.shape[1])
+        _, topk = jax.lax.top_k(logits, k)
+        acc5 = jnp.mean(jnp.any(topk == y[:, None], axis=1)
+                        .astype(jnp.float32))
+        return self.loss_fn(logits, y), acc, acc5
 
     # -- public API --------------------------------------------------------------
     def train_epoch(self, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
@@ -162,8 +187,9 @@ class MLEngine:
             x = jax.device_put(jnp.asarray(x), self._data_sharding)
             y = jax.device_put(jnp.asarray(y), self._data_sharding)
             with self.mesh:
-                self.params, self.momentum, loss_val = self._train_step(
-                    self.params, self.momentum, x, y, lr,
+                (self.params, self.momentum, self.state,
+                 loss_val) = self._train_step(
+                    self.params, self.momentum, self.state, x, y, lr,
                     jnp.uint32(self.step))
             n_images += x.shape[0]
             self.step += 1
@@ -186,15 +212,17 @@ class MLEngine:
         return {"images_per_s": ips, "loss": float(loss_val), "lr": lr}
 
     def validate(self, batches) -> Dict[str, float]:
-        losses, accs = [], []
+        losses, accs, acc5s = [], [], []
         for x, y in batches:
             x = jax.device_put(jnp.asarray(x), self._data_sharding)
             y = jax.device_put(jnp.asarray(y), self._data_sharding)
             with self.mesh:
-                l, a = self._eval_step(self.params, x, y)
+                l, a, a5 = self._eval_step(self.params, self.state, x, y)
             losses.append(float(l))
             accs.append(float(a))
-        return {"loss": float(np.mean(losses)), "acc": float(np.mean(accs))}
+            acc5s.append(float(a5))
+        return {"loss": float(np.mean(losses)), "acc": float(np.mean(accs)),
+                "acc5": float(np.mean(acc5s))}
 
     # -- checkpoint / resume (Engine.cpp:245-365, 488-500 analog) --------------
     def checkpoint(self, tag: Optional[str] = None):
@@ -208,6 +236,11 @@ class MLEngine:
         mflat, _ = jax.tree_util.tree_flatten_with_path(self.momentum)
         np.savez(os.path.join(d, f"momentum_{tag}.npz"),
                  **{jax.tree_util.keystr(k): np.asarray(v) for k, v in mflat})
+        if self._stateful:
+            sflat, _ = jax.tree_util.tree_flatten_with_path(self.state)
+            np.savez(os.path.join(d, f"state_{tag}.npz"),
+                     **{jax.tree_util.keystr(k): np.asarray(v)
+                        for k, v in sflat})
         with open(os.path.join(d, f"meta_{tag}.json"), "w") as f:
             json.dump({"epoch": self.epoch, "step": self.step,
                        "lr": _schedule(self.solver, self.epoch)}, f)
@@ -230,6 +263,13 @@ class MLEngine:
         self.momentum = jax.tree_util.tree_unflatten(
             mtree, [jnp.asarray(mz[jax.tree_util.keystr(k)])
                     for k, _ in mflat])
+        state_p = os.path.join(d, f"state_{tag}.npz")
+        if self._stateful and os.path.exists(state_p):
+            sz = np.load(state_p)
+            sflat, stree = jax.tree_util.tree_flatten_with_path(self.state)
+            self.state = jax.tree_util.tree_unflatten(
+                stree, [jnp.asarray(sz[jax.tree_util.keystr(k)])
+                        for k, _ in sflat])
         return True
 
 

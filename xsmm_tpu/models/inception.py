@@ -117,8 +117,5 @@ def inception_v3(num_classes: int = 1000, width: int = 32, seed: int = 0,
               "_meta": {"model": "inception_v3", "width": width,
                         "kinds": kinds}}
 
-    def forward(params, x, compute_dtype=None, train=False, rng=None):
-        del compute_dtype
-        return graph(params["layers"], x, train=train, rng=rng)
-
-    return params, forward
+    from ..dnn.layers import make_model_forward
+    return params, make_model_forward(graph)

@@ -90,9 +90,5 @@ def resnet(depth: int = 50, num_classes: int = 1000, width: int = 64,
     init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed)
     params = {"layers": init,
               "_meta": {"model": "resnet", "depth": depth, "width": width}}
-
-    def forward(params, x, compute_dtype=None, train=False, rng=None):
-        del compute_dtype  # dtype is a build-time choice (dtype= kwarg)
-        return graph(params["layers"], x, train=train, rng=rng)
-
-    return params, forward
+    from ..dnn.layers import make_model_forward
+    return params, make_model_forward(graph)

@@ -77,6 +77,7 @@ _recorder = _Recorder()
 
 
 _intercept_lock = threading.Lock()  # one interception scope per process
+_intercept_local = threading.local()  # re-entry detection (same thread)
 
 
 def _record_matmul_shapes(calls, ash, bsh, dtype):
@@ -113,6 +114,14 @@ def mmbatch_begin(record_only: bool = True):
     calls: List[RecordedCall] = []
     threshold = get_config().gemm_threshold
 
+    # a nested scope on the same thread would deadlock on the
+    # non-reentrant lock below — fail loudly instead
+    if getattr(_intercept_local, "active", False):
+        raise RuntimeError(
+            "mmbatch_begin scopes cannot nest (one interception scope "
+            "at a time; the reference serializes the wrap batch array "
+            "the same way, libxsmm_ext_gemm.c internal_mmbatch_flush)")
+    _intercept_local.active = True
     with _intercept_lock:
         orig_matmul = jnp.matmul
         orig_einsum = jnp.einsum
@@ -132,15 +141,23 @@ def mmbatch_begin(record_only: bool = True):
 
         def wrapped_einsum(*args, **kw):
             # record specs of the form '<batch>ij,<batch>jk-><batch>ik'
-            # (same batch prefix, one contracted index) — the matmul family
+            # (same batch prefix, one contracted index) — the matmul family.
+            # An explicit output must BE that plain-matmul output
+            # (batch + lhs[-2] + rhs[-1]); transposed ('->ki') or reduced
+            # ('->ik' on batched inputs) outputs are not plain matmuls and
+            # would be recorded with wrong m/n/batch.
             if args and isinstance(args[0], str) and len(args) == 3:
                 spec = args[0].replace(" ", "")
                 explicit = spec.split("->")[0] if "->" in spec else spec
                 parts = explicit.split(",")
                 if len(parts) == 2 and len(parts[0]) >= 2 and len(parts[1]) >= 2:
                     lhs, rhs = parts
-                    if (lhs[:-2] == rhs[:-2] and lhs[-1] == rhs[-2]
-                            and "." not in spec):
+                    out_ok = True
+                    if "->" in spec:
+                        out_ok = (spec.split("->")[1]
+                                  == lhs[:-2] + lhs[-2] + rhs[-1])
+                    if (out_ok and lhs[:-2] == rhs[:-2]
+                            and lhs[-1] == rhs[-2] and "." not in spec):
                         _record_matmul_shapes(
                             calls, np.shape(args[1]), np.shape(args[2]),
                             str(jnp.result_type(args[1], args[2])))
@@ -153,6 +170,7 @@ def mmbatch_begin(record_only: bool = True):
         finally:
             jnp.matmul = orig_matmul
             jnp.einsum = orig_einsum
+            _intercept_local.active = False
 
 
 def mmbatch_end():  # parity shim: the context manager form is canonical
