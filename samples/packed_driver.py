@@ -71,10 +71,21 @@ def main():
     xt.check(B, np.tril(A.astype(np.float64)) @ x, 1e-3, what="trsm")
     measure(kt._fn, Aj, Bj, flops=m ** 3 * batch,
             label=f"trsm L {m}x{m} b{batch}", probe="elem")
-    # trmm
+    # trmm — lane-packed BatchedSMM on the pack-time-masked triangle;
+    # useful flops = the triangle's m^2*n MACs (half the dense product)
     km = packed.trmm_dispatch(m, m, batch=batch)
-    measure(km._fn, Aj, Bj, flops=m ** 3 * batch,
-            label=f"trmm L {m}x{m} b{batch}")
+    c = np.asarray(km(A, B), np.float64)
+    xt.check(np.tril(A.astype(np.float64)) @ B, c, 1e-3, what="trmm")
+    if isinstance(km._smm, xt.BatchedSMM):
+        s = km._smm
+        am = km._mask(Aj, jnp.float32(1.0))
+        measure(s._packed_fn, s.pack_a(am), s.pack_b(Bj),
+                flops=m ** 3 * batch, label=f"trmm L {m}x{m} b{batch}",
+                probe="elem")
+    else:
+        measure(lambda a_, b_: km._smm._fn(
+            km._mask(a_, jnp.float32(1.0)), b_), Aj, Bj,
+            flops=m ** 3 * batch, label=f"trmm L {m}x{m} b{batch} (xla)")
 
 
 if __name__ == "__main__":
