@@ -10,5 +10,7 @@ from .types import (BnDesc, BnFuse, CellType, ConvDesc, FCDesc, Format,
 from .conv import ConvLayer, create_conv_layer
 from .fullyconnected import FullyConnectedLayer, create_fullyconnected_layer
 from .pooling import PoolingLayer, create_pooling_layer
-from .batchnorm import FusedBatchNorm, create_fusedbatchnorm
+from .batchnorm import BnRunning, FusedBatchNorm, create_fusedbatchnorm
 from .rnncell import RnnCell, create_rnncell
+from .quant import (RoundMode, dequantize, quantize, quantize_act,
+                    quantize_fil)
