@@ -91,3 +91,48 @@ def test_grad_through_graph():
     leaves = jax.tree_util.tree_leaves(grads)
     assert leaves and all(bool(jnp.isfinite(l).all()) for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_fuse_conv_bn_equivalence():
+    """FusedConvBN (VERDICT r2 #7): the opt-in conv+bn fusion must be
+    numerically equivalent to the unfused graph — train mode, eval mode
+    (running stats), and gradients."""
+    import jax
+    import numpy as np
+    from xsmm_tpu.models import resnet
+
+    p0, f0 = resnet(depth=18, num_classes=10, width=8,
+                    input_shape=(4, 16, 16, 3), seed=3)
+    p1, f1 = resnet(depth=18, num_classes=10, width=8,
+                    input_shape=(4, 16, 16, 3), seed=3, fuse_conv_bn=True)
+    # fewer nodes: conv+bn pairs merged
+    assert len(f1.graph.nodes) < len(f0.graph.nodes)
+    assert len(f1.init_state) == len(f0.init_state)  # same BN count
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+
+    l0 = f0(p0, x)                       # train-mode batch stats
+    l1 = f1(p1, x)
+    assert np.allclose(np.asarray(l0), np.asarray(l1), atol=1e-4), \
+        np.abs(np.asarray(l0) - np.asarray(l1)).max()
+
+    # stateful: one train pass updates running stats identically
+    _, s0 = f0(p0, x, train=True, state=dict(f0.init_state))
+    _, s1 = f1(p1, x, train=True, state=dict(f1.init_state))
+    for k in s0:
+        assert np.allclose(np.asarray(s0[k].gmean), np.asarray(s1[k].gmean),
+                           atol=1e-4), k
+    e0, _ = f0(p0, x, state=s0)
+    e1, _ = f1(p1, x, state=s1)
+    assert np.allclose(np.asarray(e0), np.asarray(e1), atol=1e-4)
+
+    # gradient equivalence through both builds
+    g0 = jax.grad(lambda p: jnp.sum(f0({**p0, "layers": p}, x) ** 2))(
+        p0["layers"])
+    g1 = jax.grad(lambda p: jnp.sum(f1({**p1, "layers": p}, x) ** 2))(
+        p1["layers"])
+    n0 = sum(float(jnp.sum(jnp.abs(g)))
+             for g in jax.tree_util.tree_leaves(g0))
+    n1 = sum(float(jnp.sum(jnp.abs(g)))
+             for g in jax.tree_util.tree_leaves(g1))
+    assert abs(n0 - n1) / max(n0, 1e-9) < 1e-3, (n0, n1)

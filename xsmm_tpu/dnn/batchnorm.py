@@ -134,6 +134,28 @@ class FusedBatchNorm:
 
         self._fwd_eval = jax.jit(fwd_eval)
 
+        def fwd_from_moments(x, gamma, beta, mean, var, residual=None):
+            # FusedConvBN train path: the producing conv's BATCH_STATS_FWD
+            # epilogue already reduced sum/sumsq, so normalization is one
+            # elementwise pass — no stat reductions here (the reference
+            # fuses exactly this way, gxm/src/FusedConvBNXSMM.cpp)
+            x = x.astype(jnp.float32)
+            inv_std = jax.lax.rsqrt(var + d.eps)
+            x_hat = (x - mean) * inv_std
+            y = x_hat * gamma + beta
+            if d.fuse & BnFuse.ELTWISE:
+                if residual is None:
+                    raise ValueError("ELTWISE fusion requires residual")
+                y = y + residual.astype(jnp.float32)
+            mask = None
+            if d.fuse & BnFuse.RELU:
+                mask = y > 0
+                y = jnp.maximum(y, 0.0)
+            return y.astype(jnp.dtype(d.dtype)), BnState(
+                mean, var, inv_std, x_hat, mask)
+
+        self._fwd_from_moments = jax.jit(fwd_from_moments)
+
     def init_running(self) -> BnRunning:
         """Fresh global-stats state (all-zero sums, scf=0)."""
         c = self.desc.c
@@ -165,6 +187,16 @@ class FusedBatchNorm:
         if residual is not None:
             return self._fwd_eval(x, gamma, beta, running, residual)
         return self._fwd_eval(x, gamma, beta, running)
+
+    def forward_from_moments(self, x, gamma, beta, mean, var,
+                             residual=None):
+        """Train forward with externally-computed batch moments (from a
+        producing conv's BATCH_STATS_FWD fusion); skips the reduction
+        passes.  Returns (y, BnState) like forward."""
+        if residual is not None:
+            return self._fwd_from_moments(x, gamma, beta, mean, var,
+                                          residual)
+        return self._fwd_from_moments(x, gamma, beta, mean, var)
 
     def backward(self, dy, gamma, state):
         return self._bwd(dy, gamma, state)

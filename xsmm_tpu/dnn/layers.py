@@ -115,9 +115,11 @@ class Graph:
 
     def __init__(self, specs: List[Dict[str, Any]],
                  input_shape: Tuple[int, int, int, int],
-                 dtype: str = "float32", seed: int = 0):
+                 dtype: str = "float32", seed: int = 0,
+                 fuse_conv_bn: bool = False):
         self.specs = specs
         self.dtype = dtype
+        self.fuse_conv_bn = fuse_conv_bn
         self._rng = np.random.default_rng(seed)
         self.init_state: Dict[str, Any] = {}
         self._n_stateful = 0
@@ -128,14 +130,30 @@ class Graph:
     def _build(self, specs, shape):
         nodes: List[Callable] = []
         params: List[Any] = []
-        for spec in specs:
+        i = 0
+        while i < len(specs):
+            spec = specs[i]
             t = spec["type"]
+            # FusedConvBN (gxm/src/FusedConvBNXSMM.cpp analog): a conv
+            # without its own ReLU followed by a batchnorm becomes one
+            # node — the conv's BATCH_STATS_FWD epilogue feeds the BN,
+            # skipping the BN's two reduction passes over the activation
+            if (self.fuse_conv_bn and t == "conv"
+                    and not spec.get("relu") and i + 1 < len(specs)
+                    and specs[i + 1]["type"] == "batchnorm"):
+                node, p, shape = self._build_conv_bn(spec, specs[i + 1],
+                                                     shape)
+                nodes.append(node)
+                params.append(p)
+                i += 2
+                continue
             build = getattr(self, f"_build_{t}", None)
             if build is None:
                 raise ValueError(f"unknown layer type: {t!r}")
             node, p, shape = build(spec, shape)
             nodes.append(node)
             params.append(p)
+            i += 1
         return nodes, params, shape
 
     def _build_conv(self, spec, shape):
@@ -162,6 +180,55 @@ class Graph:
 
         def node(p, x, ctx, _l=layer):
             return _l.forward(x, p["w"], p.get("b"))
+
+        return node, p, (n, desc.out_h, desc.out_w, k)
+
+    def _build_conv_bn(self, spec, bn_spec, shape):
+        """Fused conv+BN node: conv with BATCH_STATS_FWD feeding the BN's
+        normalization directly (FusedConvBNXSMM analog; opt-in via
+        Graph(fuse_conv_bn=True))."""
+        n, h, w, c = shape
+        r = int(spec.get("r", 3))
+        s = int(spec.get("s", r))
+        u = int(spec.get("stride", 1))
+        pad = spec.get("pad", "same")
+        ph, pw = ((r - 1) // 2, (s - 1) // 2) if pad == "same" else \
+            ((0, 0) if pad == "valid" else (int(pad), int(pad)))
+        k = int(spec["k"])
+        fuse = FuseOp.BATCH_STATS_FWD
+        if spec.get("bias"):
+            fuse |= FuseOp.BIAS
+        desc = ConvDesc(n=n, c=c, h=h, w=w, k=k, r=r, s=s, u=u, v=u,
+                        pad_h=ph, pad_w=pw, in_dtype=self.dtype,
+                        out_dtype=self.dtype, fuse_ops=fuse)
+        conv = create_conv_layer(desc)
+        bn_fuse = BnFuse.RELU if bn_spec.get("relu") else BnFuse.BN
+        bdesc = BnDesc(n=n, c=k, h=desc.out_h, w=desc.out_w, fuse=bn_fuse,
+                       dtype=self.dtype)
+        bn = create_fusedbatchnorm(bdesc)
+        p = {"w": _he_conv(self._rng, r, s, c, k, self.dtype),
+             "gamma": jnp.ones((k,), jnp.float32),
+             "beta": jnp.zeros((k,), jnp.float32)}
+        if spec.get("bias"):
+            p["b"] = jnp.zeros((k,), jnp.float32)
+        key = f"bn{self._n_stateful}"
+        self._n_stateful += 1
+        self.init_state[key] = bn.init_running()
+
+        def node(p, x, ctx, _c=conv, _bn=bn, _key=key):
+            st = ctx.get("state")
+            y, stats = _c.forward(x, p["w"], p.get("b"))
+            if st is not None and not ctx["train"]:
+                return _bn.forward_eval(y, p["gamma"], p["beta"], st[_key])
+            nhw = y.shape[0] * y.shape[1] * y.shape[2]
+            mean = stats.sum / nhw
+            var = stats.sumsq / nhw - jnp.square(mean)
+            out, bstate = _bn.forward_from_moments(
+                y, p["gamma"], p["beta"], mean, var)
+            if st is not None:
+                ctx["new_state"][_key] = _bn.update_running(st[_key],
+                                                            bstate)
+            return out
 
         return node, p, (n, desc.out_h, desc.out_w, k)
 
@@ -342,11 +409,16 @@ def make_model_forward(graph: Graph, key: str = "layers"):
 
 def build_graph(specs: List[Dict[str, Any]],
                 input_shape: Tuple[int, int, int, int],
-                dtype: str = "float32", seed: int = 0
-                ) -> Tuple[List[Any], Graph]:
+                dtype: str = "float32", seed: int = 0,
+                fuse_conv_bn: bool = False) -> Tuple[List[Any], Graph]:
     """Build a layer graph from specs: returns (init_params, graph).
 
     The graph object is the forward callable: graph(params, x, train, rng).
+    fuse_conv_bn=True merges conv->batchnorm pairs into FusedConvBN nodes
+    (the conv's BATCH_STATS_FWD epilogue feeds the BN; note the fused
+    pair's params live in ONE dict, so the params tree differs from the
+    unfused build).
     """
-    g = Graph(specs, input_shape, dtype=dtype, seed=seed)
+    g = Graph(specs, input_shape, dtype=dtype, seed=seed,
+              fuse_conv_bn=fuse_conv_bn)
     return g.init_params, g

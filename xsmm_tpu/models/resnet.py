@@ -81,13 +81,15 @@ def resnet_specs(depth: int, num_classes: int, width: int) -> List[Dict]:
 
 def resnet(depth: int = 50, num_classes: int = 1000, width: int = 64,
            seed: int = 0, input_shape: Tuple[int, int, int, int] = (8, 32, 32, 3),
-           dtype: str = "float32"):
+           dtype: str = "float32", fuse_conv_bn: bool = False):
     """Build (params, forward).  input_shape is the NOMINAL NHWC shape the
     layer descriptors are declared with (the prototxt analog); the handles'
     forwards are shape-polymorphic, so any batch/size with 3 input channels
-    runs."""
+    runs.  fuse_conv_bn merges conv->bn pairs into FusedConvBN nodes
+    (gxm FusedConvBNXSMM analog)."""
     specs = resnet_specs(depth, num_classes, width)
-    init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed)
+    init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed,
+                              fuse_conv_bn=fuse_conv_bn)
     params = {"layers": init,
               "_meta": {"model": "resnet", "depth": depth, "width": width}}
     from ..dnn.layers import make_model_forward
