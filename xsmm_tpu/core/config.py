@@ -120,13 +120,25 @@ def get_config() -> Config:
     return _CONFIG
 
 
+_GENERATION = 0
+
+
+def config_generation() -> int:
+    """Monotone counter bumped by every set_config: lets front caches
+    (ops/smm._dispatch memo) invalidate when config changes affect what a
+    descriptor builds (e.g. f64_strategy, smm_backend)."""
+    return _GENERATION
+
+
 def set_config(**kwargs) -> Config:
     """Override config fields programmatically (tests, notebooks)."""
+    global _GENERATION
     cfg = get_config()
     for k, v in kwargs.items():
         if not hasattr(cfg, k):
             raise AttributeError(f"unknown config field: {k}")
         setattr(cfg, k, v)
+    _GENERATION += 1
     if "target" in kwargs or "interpret" in kwargs:
         # platform detection caches backend(); invalidate so target
         # overrides take effect after first use

@@ -121,6 +121,11 @@ class Registry:
         # stays authoritative (release/introspection).  None => pure Python.
         self._native = _make_native(self.capacity)
         self._finalized = False
+        # Front memo for typed dispatch frontends (ops/smm.mmdispatch):
+        # raw-args tuple -> (kernel, stats-record args).  The ns-class
+        # fast path — descriptor construction/packing never runs on a
+        # hit.  Cleared by release()/clear().
+        self.front_memo: Dict[Any, Any] = {}
 
     # -- MRU per-thread cache (reference: TLS cache, libxsmm_main.c:1704-1732)
     def _cache(self) -> List[Tuple[bytes, RegistryEntry]]:
@@ -258,6 +263,7 @@ class Registry:
                         self._entries[i] = None
                         break
             self._tls = threading.local()  # drop MRU references
+            self.front_memo.clear()
             return e is not None
 
     def info(self) -> Dict[str, int]:
@@ -281,6 +287,7 @@ class Registry:
             if self._native is not None:
                 self._native.clear()
             self._tls = threading.local()
+            self.front_memo.clear()
 
 
 _REGISTRY: Optional[Registry] = None
