@@ -168,6 +168,45 @@ def config5_packed_blocked():
         "mnk": [mm, nn, kk], "block": bs, "dtype": "bfloat16",
         "tflops": round(2 * mm * nn * kk / dt / 1e12, 1),
     }
+    # On-chip ring@1 vs local-kernel ratio (retires the status-doc prose;
+    # VERDICT r2 #6): the ring machinery at 1 device must not tax the
+    # unrolled-CSR kernel measurably.
+    if xt.platform.is_tpu():
+        import scaling_bench
+        op_name, op = scaling_bench._load_pyfr_op()
+        n_op = 65536
+        p1 = scaling_bench.bench_pyfr_ring(1, op, n_op)
+        local = spgemm.create_csr_soa(op, n_op, dtype="float64")
+        rngb = np.random.default_rng(2)
+        b64 = rngb.standard_normal((op.shape[1], n_op))
+        lbh = jnp.asarray(b64, jnp.float32)
+        lbl = jnp.asarray(b64 - np.asarray(b64, np.float32), jnp.float32)
+        ldt = device_bench(local._fn, lbh, lbl)
+        lrate = int(np.count_nonzero(op)) * n_op / ldt / 1e9
+        out["ring1_vs_local_onchip"] = {
+            "operator": op_name,
+            "ring1_gnnz_per_s": round(p1["gnnz_per_s"], 1),
+            "local_gnnz_per_s": round(lrate, 1),
+            "ratio": round(p1["gnnz_per_s"] / lrate, 3)}
+    # N-device scaling efficiencies on the 8-virtual-device CPU mesh
+    # (machinery validation — no multi-chip hardware on this box; real
+    # N-chip efficiency is environment-blocked and labeled as such)
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scaling_bench.py")],
+            env=env, capture_output=True, text=True, timeout=1500)
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        out["scaling_virtual_cpu"] = {
+            "label": "machinery-validation (virtual CPU mesh, 8 devices)",
+            **json.loads(line)}
+    except Exception as e:  # noqa: BLE001 — artifact must record failure
+        out["scaling_virtual_cpu"] = {"error": repr(e)}
     return out
 
 

@@ -129,7 +129,9 @@ def bench_pyfr_ring(n_dev: int, a: np.ndarray, n: int):
             "gflops": 2 * nnz * n / dt / 1e9}
 
 
-def main():
+def run():
+    """All scaling measurements as one dict (captured per round into
+    BENCH_extra config5 by bench_all.py — VERDICT r2 #6)."""
     m, k, n = 512, 512, 8192
     density = 0.10
     ndev = len(jax.devices())
@@ -168,7 +170,11 @@ def main():
         out["packed_getrf"]["scaled"] = pn
         out["packed_getrf"]["scaling_efficiency"] = pn["gflops"] / (
             ndev * p1["gflops"])
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":
