@@ -81,17 +81,100 @@ class RnnCell:
                               preferred_element_type=jnp.float32) + b)
             return (act(z), c)
 
+        # -- LSTM core with a hand-scheduled backward --------------------
+        # The autodiff VJP of the forward scan accumulates dwr [C+K,4K]
+        # f32 as a loop CARRY: 8MB of accumulator read+write per step
+        # (measured: 512MB of HBM traffic at T=32 — the reason bwd+upd
+        # sat at 97 TF ~ 49% peak, perf_notes.md "LSTM backward study").
+        # The reference's bwdupd templates instead walk stored gate
+        # activations and batch the weight-gradient GEMMs over T
+        # (libxsmm_dnn_rnncell_st_lstm_bwdupd_*.tpl.c).  Same plan here:
+        #   sequential scan: gate-grad elementwise + dh_prev = dz@R^T only
+        #   after the scan:  dx  = dz_flat @ W^T         (one MXU GEMM)
+        #                    dwr = [x,h_prev]^T @ dz_flat (one MXU GEMM,
+        #                          contraction over T*N — MXU-sized)
+        def _lstm_core_fwd(xt_f, wr, b, h0, c0):
+            def body(carry, x_t):
+                h, c = carry
+                z = jnp.matmul(jnp.concatenate([x_t, h], axis=1), wr,
+                               precision=prec,
+                               preferred_element_type=jnp.float32) + b
+                i = jax.nn.sigmoid(z[:, 0 * k:1 * k])
+                g = jnp.tanh(z[:, 1 * k:2 * k])
+                f = jax.nn.sigmoid(z[:, 2 * k:3 * k])
+                o = jax.nn.sigmoid(z[:, 3 * k:4 * k])
+                c2 = f * c + i * g
+                h2 = o * jnp.tanh(c2)
+                return (h2, c2), (h2, c2, i, g, f, o)
+            (h_t, c_t), (hs, cs, is_, gs, fs, os_) = jax.lax.scan(
+                body, (h0, c0), xt_f)
+            return (hs, h_t, c_t), (cs, is_, gs, fs, os_)
+
+        @jax.custom_vjp
+        def lstm_core(xt_f, wr, b, h0, c0):
+            return _lstm_core_fwd(xt_f, wr, b, h0, c0)[0]
+
+        def lstm_core_f(xt_f, wr, b, h0, c0):
+            out, res = _lstm_core_fwd(xt_f, wr, b, h0, c0)
+            hs = out[0]
+            return out, (xt_f, wr, h0, c0, hs, res)
+
+        def lstm_core_b(saved, cot):
+            xt_f, wr, h0, c0, hs, (cs, is_, gs, fs, os_) = saved
+            dhs, dh_t, dc_t = cot
+            t_, n_, c_in = xt_f.shape
+            c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+            tanh_cs = jnp.tanh(cs)
+            r_t = wr[c_in:].T  # [4K, K]
+
+            def body(carry, inp):
+                dh_next, dc_next = carry
+                dh_out, i, g, f, o, cp, tc = inp
+                dh = dh_out.astype(jnp.float32) + dh_next
+                do = dh * tc
+                dc = dc_next + dh * o * (1.0 - tc * tc)
+                dzi = dc * g * i * (1.0 - i)
+                dzg = dc * i * (1.0 - g * g)
+                dzf = dc * cp * f * (1.0 - f)
+                dzo = do * o * (1.0 - o)
+                dz = jnp.concatenate([dzi, dzg, dzf, dzo], axis=1)
+                dh_prev = jnp.matmul(dz, r_t, precision=prec,
+                                     preferred_element_type=jnp.float32)
+                return (dh_prev, dc * f), dz
+
+            (dh0, dc0), dzs = jax.lax.scan(
+                body, (dh_t.astype(jnp.float32),
+                       dc_t.astype(jnp.float32)),
+                (dhs, is_, gs, fs, os_, c_prev, tanh_cs), reverse=True)
+            dz_flat = dzs.reshape(t_ * n_, 4 * k)
+            dx = jnp.matmul(dz_flat, wr[:c_in].T, precision=prec,
+                            preferred_element_type=jnp.float32
+                            ).reshape(t_, n_, c_in)
+            inp_flat = jnp.concatenate(
+                [xt_f.reshape(t_ * n_, c_in),
+                 h_prev.reshape(t_ * n_, k)], axis=1)
+            dwr = jnp.matmul(inp_flat.T, dz_flat, precision=prec,
+                             preferred_element_type=jnp.float32)
+            db = jnp.sum(dz_flat, axis=0)
+            return dx, dwr, db, dh0, dc0
+
+        lstm_core.defvjp(lstm_core_f, lstm_core_b)
+
         def fwd(xt, w, r, b, h0, c0):
-            wr = (jnp.concatenate([w, r], axis=0)
-                  if d.cell_type == CellType.LSTM else None)
+            h0 = h0.astype(jnp.float32)
+            c0 = (c0.astype(jnp.float32) if c0 is not None
+                  else jnp.zeros_like(h0))
+            if d.cell_type == CellType.LSTM:
+                wr = jnp.concatenate([w, r], axis=0)
+                hs, h_t, c_t = lstm_core(xt.astype(jnp.float32), wr, b,
+                                         h0, c0)
+                return hs.astype(jnp.dtype(d.out_dtype)), h_t, c_t
 
             def body(carry, x_t):
-                nxt = step(carry, x_t.astype(jnp.float32), w, r, b, wr)
+                nxt = step(carry, x_t.astype(jnp.float32), w, r, b, None)
                 return nxt, nxt[0]
-            (h_t, c_t), hs = jax.lax.scan(
-                body, (h0.astype(jnp.float32),
-                       c0.astype(jnp.float32) if c0 is not None else
-                       jnp.zeros_like(h0, jnp.float32)), xt)
+            (h_t, c_t), hs = jax.lax.scan(body, (h0, c0), xt)
             return hs.astype(jnp.dtype(d.out_dtype)), h_t, c_t
 
         self._fwd = jax.jit(fwd)
