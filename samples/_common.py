@@ -15,9 +15,9 @@ from xsmm_tpu.utils.timer import device_bench
 xt.enable_compile_cache()
 
 
-def measure(fn, *args, flops=0, nbytes=0, label="", probe="sum"):
+def measure(fn, *args, flops=0, nbytes=0, label="", probe="sum", **bench_kw):
     if xt.platform.is_tpu():
-        dt = device_bench(fn, *args, probe=probe)
+        dt = device_bench(fn, *args, probe=probe, **bench_kw)
     else:
         dt, _ = xt.timer.bench(fn, *args, warmup=1, iters=3)
     line = f"{label}: {dt * 1e3:.3f} ms"

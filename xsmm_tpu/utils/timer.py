@@ -72,8 +72,10 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
     import jax.numpy as jnp
     from jax.tree_util import tree_leaves
 
-    args = tuple(jnp.asarray(a) if not isinstance(a, jax.Array) else a
-                 for a in args)
+    # args may be pytrees (e.g. layer-state NamedTuples): convert leaves,
+    # not containers (jnp.asarray on a NamedTuple would try to stack it)
+    args = jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.Array) else jnp.asarray(a), args)
 
     def default_feedback(out, a):
         # Write a value derived from the output into one input element.
