@@ -53,44 +53,119 @@ def _bench_kw():
                                                 repeats=1)
 
 
+def _measured_hbm_ceilings():
+    """Measured per-direction streaming rates at a >>VMEM working set.
+
+    Round-3 audit (perf_notes.md "VMEM residency and byte-model
+    honesty"): chained-iteration benches keep sub-128MB working sets
+    VMEM-resident, so small-footprint runs measure VMEM rates — any
+    HBM roofline must use ceilings measured AT SCALE.  Returns
+    (read_bw, write_bw) in B/s: ~743 / ~699 GB/s on this v5e
+    (spec 819); read via a 403MB sum, write via a Pallas fill (opaque
+    custom call — XLA cannot elide it)."""
+    if not xt.platform.is_tpu():
+        return _bw(), _bw()
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from xsmm_tpu.ops.pallas_util import pallas_call as _pc
+    M, N, BM, BN = 1536, 65536, 256, 2048  # 403MB, 2MB blocks
+    x = _jax.random.normal(_jax.random.PRNGKey(0), (M, N), jnp.float32)
+
+    @_jax.jit
+    def rd(x):
+        return jnp.sum(x * x)
+
+    bw_r = M * N * 4 / device_bench(rd, x, probe="elem")
+
+    def fill_kernel(x_ref, o_ref):
+        o_ref[:] = jnp.broadcast_to(x_ref[0, 0], o_ref.shape)
+
+    @_jax.jit
+    def fill(s):
+        return _pc(fill_kernel, grid=(M // BM, N // BN),
+                   in_specs=[pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)],
+                   out_specs=pl.BlockSpec((BM, BN), lambda i, j: (i, j),
+                                          memory_space=pltpu.VMEM),
+                   out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32))(s)
+
+    bw_w = M * N * 4 / device_bench(fill, jnp.ones((8, 128), jnp.float32),
+                                    probe="elem")
+    return bw_r, bw_w
+
+
 def config2_pyfr_csr():
-    """CSR sparse-A x dense-B on the reference's own operator matrices."""
+    """CSR sparse-A x dense-B on the reference's own operator matrices.
+
+    Two regimes per operator (round-3 honesty fix — r2 reported
+    roofline_frac 2.3 because the n=65536 working set fit VMEM and the
+    chained-iteration bench measured VMEM-resident rates against an HBM
+    byte model):
+
+      resident:  n=65536, B+C <= ~150MB — sustained rate with operands
+                 resident across applications (the PyFR deployment case:
+                 small operators applied repeatedly); labeled, no frac.
+      streaming: n chosen so B+C >> VMEM — honest HBM roofline with
+                 frac in (0,1] against the ceiling MEASURED in this run.
+    """
     ref = [
         "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx",
         "/root/reference/samples/pyfr/mats/p3/hex/m3-sp.mtx",
         "/root/reference/samples/pyfr/mats/p2/hex/m6-sp.mtx",
     ]
-    n = 65536 if xt.platform.is_tpu() else 1024
-    results = []
+    on_tpu = xt.platform.is_tpu()
+    n_res = 65536 if on_tpu else 1024
+    bw_r, bw_w = _measured_hbm_ceilings()
+    results = {"measured_read_gbps": round(bw_r / 1e9, 1),
+               "measured_write_gbps": round(bw_w / 1e9, 1),
+               "operators": []}
+    rng = np.random.default_rng(0)
     for path in ref:
         if not os.path.exists(path):
             continue
         a = np.asarray(xt.read_mtx(path))
         m, k = a.shape
         nnz = int(np.count_nonzero(a))
-        kern = spgemm.create_csr_soa(a, n, dtype="float64")
-        rng = np.random.default_rng(0)
-        b = rng.standard_normal((k, n))
-        # gate at the reference tolerance
-        c = kern(b)
-        xt.check(a @ b, c, 1e-3)
-        bh = jnp.asarray(b, jnp.float32)
-        bl = jnp.asarray(b - np.asarray(b, np.float32), jnp.float32)
-        dt = device_bench(kern._fn, bh, bl, probe="elem", **_bench_kw())
-        flops = 2 * nnz * n
-        # roofline: the kernel streams B(hi+lo) + C(hi+lo) = (k+m)*n*8 bytes
-        nbytes = (k + m) * n * 8
-        roof = flops / nbytes * _bw() / 1e9
-        results.append({
-            "operator": "/".join(path.split("/")[-3:]),
-            "m": m, "k": k, "nnz": nnz, "n": n,
-            "strategy": kern.strategy,
-            "gflops": round(flops / dt / 1e9, 1),
-            "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
-            "achieved_gbps": round(nbytes / dt / 1e9, 1),
-            "roofline_gflops": round(roof, 1),
-            "roofline_frac": round(flops / dt / 1e9 / roof, 3),
-        })
+        entry = {"operator": "/".join(path.split("/")[-3:]),
+                 "m": m, "k": k, "nnz": nnz}
+        # streaming regime: working set >= 4x VMEM
+        n_str = (max(-(-512 * 1024 * 1024 // ((k + m) * 8 * n_res)), 1)
+                 * n_res if on_tpu else n_res)  # multiple of 65536
+        for regime, n in (("resident", n_res), ("streaming", n_str)):
+            if not on_tpu and regime == "streaming":
+                continue
+            kern = spgemm.create_csr_soa(a, n, dtype="float64")
+            b = rng.standard_normal((k, n))
+            c = kern(b)   # gate at the reference tolerance
+            xt.check(a @ b, c, 1e-3)
+            bh = jnp.asarray(b, jnp.float32)
+            bl = jnp.asarray(b - np.asarray(b, np.float32), jnp.float32)
+            dt = device_bench(kern._fn, bh, bl, probe="elem", **_bench_kw())
+            flops = 2 * nnz * n
+            nbytes = (k + m) * n * 8  # stream B(hi+lo) + C(hi+lo)
+            row = {"n": n, "strategy": kern.strategy,
+                   "gflops": round(flops / dt / 1e9, 1),
+                   "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
+                   "model_gbps": round(nbytes / dt / 1e9, 1)}
+            if regime == "streaming":
+                # two honest bounds bracket the truth (HBM is partially
+                # duplex): serial = directions never overlap, duplex =
+                # full overlap (speed of light).  frac_duplex <= 1 by
+                # construction; the kernel beating frac_serial > 1 just
+                # means overlap is real.
+                rd_b, wr_b = k * n * 8, m * n * 8
+                t_serial = rd_b / bw_r + wr_b / bw_w
+                t_duplex = max(rd_b / bw_r, wr_b / bw_w)
+                row["roofline_gflops_duplex"] = round(
+                    flops / t_duplex / 1e9, 1)
+                row["roofline_frac_duplex"] = round(t_duplex / dt, 3)
+                row["roofline_frac_serial"] = round(t_serial / dt, 3)
+            else:
+                row["note"] = ("working set VMEM-resident across chained "
+                               "iterations; not HBM-bound, no frac")
+            entry[regime] = row
+        results["operators"].append(entry)
     return results
 
 

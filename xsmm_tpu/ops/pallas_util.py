@@ -24,7 +24,8 @@ def pallas_call(*args, **kwargs):
 
     IMPORTANT perf note (measured on v5e): setting
     ``compiler_params=CompilerParams(vmem_limit_bytes=...)`` HALVES streaming
-    pipeline throughput (1282 -> 652 GB/s on the unrolled spgemm kernel,
+    pipeline throughput (1282 -> 652 GB/s on the unrolled spgemm kernel
+    in its VMEM-resident regime — see perf_notes 'VMEM residency',
     identical outputs) — the raised scoped-VMEM limit suppresses Mosaic's
     deep DMA multiple-buffering.  Only pass a vmem limit when the kernel's
     blocks cannot compile under the default 16MB scoped budget AND the

@@ -118,7 +118,8 @@ class CsrSpgemm:
         B/C stay 2D in HBM and the [K,bn] block is reshaped to
         [K, 8, bn/8] in VMEM so each B row fills whole (8,128) vregs.  An
         XLA-side reshape would relayout the full arrays through HBM — that
-        extra pass measured 407 GB/s end-to-end vs 1121 GB/s for the
+        extra pass measured 407 GB/s end-to-end vs 1121 GB/s (VMEM-resident
+        regime; see perf_notes 'VMEM residency') for the
         in-kernel view (v5e, 150x150 operator, f64).  No compiler_params:
         a raised scoped-VMEM limit halves DMA pipelining (pallas_util).
         """
@@ -136,6 +137,11 @@ class CsrSpgemm:
         bn = min(2048, max(unit, round_up(n, unit)))
         while bn > unit and bn * per_col > 14 * 1024 * 1024:
             bn = max(unit, bn // 2 // unit * unit)
+        # lane-block override (the LIBXSMM_TGEMM_N-style tiling env knob)
+        import os as _os
+        env_bn = int(_os.environ.get("XSMM_SPGEMM_BN", 0))
+        if env_bn:
+            bn = max(unit, env_bn // unit * unit)
         self.bn = bn  # lane tile (introspection: fsspmdm n_chunksize)
         np_pad = round_up(n, bn)
         grid = (np_pad // bn,)
