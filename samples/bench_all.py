@@ -334,7 +334,54 @@ def dnn_kernels():
     bb = jax.random.normal(key, (mnk, mnk), jnp.bfloat16)
     dt = device_bench(h._fn, a, bb, probe="elem", **_bench_kw())
     out["tiled_gemm_bf16_tflops"] = round(2.0 * mnk ** 3 / dt / 1e12, 1)
+    # fc / layer-driver headline (samples/layer_driver.py, VERDICT r2 #10)
+    from xsmm_tpu.dnn import FCDesc, FuseOp, create_fullyconnected_layer
+    nf, cf, kf = (1024, 4096, 4096) if xt.platform.is_tpu() else (16, 32, 32)
+    fd = FCDesc(n=nf, c=cf, k=kf, in_dtype="bfloat16",
+                out_dtype="bfloat16", fuse_ops=FuseOp.NONE)
+    fl = create_fullyconnected_layer(fd)
+    xq = jax.random.normal(key, (nf, cf), jnp.float32)
+    wq = jax.random.normal(key, (cf, kf), jnp.float32) * 0.02
+    dt = device_bench(fl._fwd, xq, wq, **_bench_kw())
+    out["fc_bf16_fwd_tflops"] = round(2.0 * nf * cf * kf / dt / 1e12, 1)
+    # FusedConvBN training delta (VERDICT r2 #7): resnet18/w64 img/s,
+    # unfused vs fused conv->bn graph, device-generated data
+    if xt.platform.is_tpu():
+        from xsmm_tpu.models import MLEngine, SolverConfig, resnet
+        from xsmm_tpu.models.engine import device_template_batches
+        from xsmm_tpu.parallel.mesh import make_mesh
+        for tag, fuse in (("img_s_resnet18_w64", False),
+                          ("img_s_resnet18_w64_fusedbn", True)):
+            params, fwd = resnet(depth=18, num_classes=100, width=64,
+                                 input_shape=(256, 32, 32, 3),
+                                 fuse_conv_bn=fuse)
+            eng = MLEngine(params, fwd, SolverConfig(lr=0.02),
+                           mesh=make_mesh((1, 1), ("dp", "mp")))
+            for ep in range(2):   # epoch 0 includes compile; report ep 1
+                res = eng.train_epoch(
+                    device_template_batches(10, 256, hw=32, classes=100,
+                                            epoch=ep), verbose=False)
+            out[tag] = round(res["images_per_s"], 0)
     return out
+
+
+def dispatch_latency():
+    """Registry hot-path latencies (samples/dispatch_driver.py, run as a
+    subprocess so its registry stress does not pollute this process)."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dispatch_driver.py"), "2048", "20000"],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, JAX_PLATFORMS="cpu",
+                     PALLAS_AXON_POOL_IPS=""))
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("DISPATCH ")][-1]
+        return json.loads(line[len("DISPATCH "):])
+    except Exception as e:  # noqa: BLE001 — artifact must record failure
+        return {"error": repr(e)}
 
 
 def main():
@@ -349,6 +396,7 @@ def main():
         "config4_spmdm": config4_spmdm(),
         "config5_packed_blocked": config5_packed_blocked(),
         "dnn_kernels": dnn_kernels(),
+        "dispatch": dispatch_latency(),
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
