@@ -256,7 +256,7 @@ def config5_packed_blocked():
         b64 = rngb.standard_normal((op.shape[1], n_op))
         lbh = jnp.asarray(b64, jnp.float32)
         lbl = jnp.asarray(b64 - np.asarray(b64, np.float32), jnp.float32)
-        ldt = device_bench(local._fn, lbh, lbl)
+        ldt = device_bench(local._fn, lbh, lbl, probe="elem")
         lrate = int(np.count_nonzero(op)) * n_op / ldt / 1e9
         out["ring1_vs_local_onchip"] = {
             "operator": op_name,

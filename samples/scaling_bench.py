@@ -153,7 +153,7 @@ def run():
     b64 = rngb.standard_normal((op.shape[1], n_op))
     lbh = jnp.asarray(b64, jnp.float32)
     lbl = jnp.asarray(b64 - np.asarray(b64, np.float32), jnp.float32)
-    ldt = device_bench(local._fn, lbh, lbl, **_bench_kw())
+    ldt = device_bench(local._fn, lbh, lbl, probe="elem", **_bench_kw())
     local_rate = int(np.count_nonzero(op)) * n_op / ldt / 1e9
     out["pyfr_ring"] = {"operator": op_name, "n": n_op, "base": p1,
                         "local_kernel_gnnz_per_s": local_rate,

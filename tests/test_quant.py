@@ -97,3 +97,16 @@ def test_quantize_zero_tensor():
     q, scf = quantize(np.zeros((8, 8), np.float32))
     assert np.all(np.asarray(q) == 0)
     assert np.isfinite(np.asarray(dequantize(q, scf))).all()
+
+
+def test_quantize_large_magnitude_saturates(rng):
+    """max|x| >= 2^14 would need a negative scf (uint8 ABI): scf clamps
+    to 0 and values saturate at the i16 range instead of dequantizing
+    with a wrapped 2^-249 garbage scale (code-review r3 finding)."""
+    x = (rng.standard_normal((64,)) * 1e6).astype(np.float32)
+    q, scf = quantize(x)
+    assert int(scf) == 0
+    back = np.asarray(dequantize(q, scf))
+    gold = np.clip(np.sign(x) * np.floor(np.abs(x.astype(np.float64)) + 0.5),
+                   -32768, 32767)
+    assert np.array_equal(back, gold)

@@ -158,3 +158,25 @@ def test_gemm_flags_combos():
     # reference numeric values (libxsmm_typedefs.h:180-213)
     assert GemmFlags.TRANS_A == 1 and GemmFlags.TRANS_B == 2
     assert GemmFlags.BETA_0 == 16 and GemmFlags.BATCH_REDUCE == 256
+
+
+def test_front_memo_hit_counts_and_generation():
+    """Memo hits must advance the HIT stat; set_config drops stale
+    memo generations (code-review r3 findings)."""
+    import xsmm_tpu as xt
+    from xsmm_tpu.core.registry import get_registry
+    reg = get_registry()
+    xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+    h0 = reg.stats.ncache_hit
+    xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+    assert reg.stats.ncache_hit == h0 + 1
+    n_memo = len(reg.front_memo)
+    assert n_memo >= 1
+    prev = xt.get_config().gemm_threshold
+    try:
+        xt.set_config(gemm_threshold=prev)  # bumps the generation
+        xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+        # stale-generation entries were dropped, one fresh entry added
+        assert len(reg.front_memo) == 1
+    finally:
+        xt.set_config(gemm_threshold=prev)

@@ -156,15 +156,22 @@ class Graph:
             i += 1
         return nodes, params, shape
 
-    def _build_conv(self, spec, shape):
-        n, h, w, c = shape
+    @staticmethod
+    def _parse_conv_spec(spec):
+        """Shared conv-spec grammar (r/s/stride/pad/k) — used by both the
+        plain conv build and the FusedConvBN build so they cannot
+        diverge."""
         r = int(spec.get("r", 3))
         s = int(spec.get("s", r))
         u = int(spec.get("stride", 1))
         pad = spec.get("pad", "same")
         ph, pw = ((r - 1) // 2, (s - 1) // 2) if pad == "same" else \
             ((0, 0) if pad == "valid" else (int(pad), int(pad)))
-        k = int(spec["k"])
+        return r, s, u, ph, pw, int(spec["k"])
+
+    def _build_conv(self, spec, shape):
+        n, h, w, c = shape
+        r, s, u, ph, pw, k = self._parse_conv_spec(spec)
         fuse = FuseOp.NONE
         if spec.get("bias"):
             fuse |= FuseOp.BIAS
@@ -188,13 +195,7 @@ class Graph:
         normalization directly (FusedConvBNXSMM analog; opt-in via
         Graph(fuse_conv_bn=True))."""
         n, h, w, c = shape
-        r = int(spec.get("r", 3))
-        s = int(spec.get("s", r))
-        u = int(spec.get("stride", 1))
-        pad = spec.get("pad", "same")
-        ph, pw = ((r - 1) // 2, (s - 1) // 2) if pad == "same" else \
-            ((0, 0) if pad == "valid" else (int(pad), int(pad)))
-        k = int(spec["k"])
+        r, s, u, ph, pw, k = self._parse_conv_spec(spec)
         fuse = FuseOp.BATCH_STATS_FWD
         if spec.get("bias"):
             fuse |= FuseOp.BIAS

@@ -62,8 +62,13 @@ def _quantize_core(x, add_shift: jax.Array, mode: jax.Array, key):
     mexp = _max_exp(x)
     # scf = 14 - add_shift - (max_exp - 127)  (libxsmm_dnn.c:2576); the
     # FPHW path computes the same exponent via frexp: frexp's exponent is
-    # (max_exp - 126), maxexp -= (15 - add_shift) -> -scf
-    scf = 14 - add_shift - (mexp - 127)
+    # (max_exp - 126), maxexp -= (15 - add_shift) -> -scf.
+    # scf is a uint8 in the reference ABI: tensors with max|x| >= 2^14
+    # would need a NEGATIVE scf (the reference only asserts in debug,
+    # libxsmm_dnn.c:2556-2560, then wraps).  Clamp to 0 instead: such
+    # values saturate at the i16 range — bounded error, never the
+    # silent 2^-249 garbage a wrapped uint8 would dequantize with.
+    scf = jnp.maximum(14 - add_shift - (mexp - 127), 0)
     scale = jnp.exp2(scf.astype(jnp.float32))
     s = x * scale
     mag = jnp.abs(s)

@@ -121,8 +121,10 @@ def mmbatch_begin(record_only: bool = True):
             "mmbatch_begin scopes cannot nest (one interception scope "
             "at a time; the reference serializes the wrap batch array "
             "the same way, libxsmm_ext_gemm.c internal_mmbatch_flush)")
-    _intercept_local.active = True
     with _intercept_lock:
+        # flag set only once the lock is HELD: an exception while waiting
+        # on the lock must not poison this thread's re-entry detection
+        _intercept_local.active = True
         orig_matmul = jnp.matmul
         orig_einsum = jnp.einsum
 

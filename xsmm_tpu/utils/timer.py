@@ -99,11 +99,15 @@ def device_bench(fn: Callable, *args, iters: int = 32, base_iters: int = 4,
             p = jnp.sum(leaves[0])
             for l in leaves[1:]:
                 p = p + jnp.sum(l).astype(p.dtype)
+        # write into the first ARRAY LEAF of the first arg (the first arg
+        # itself may be a pytree, e.g. a layer-state NamedTuple)
         a = list(a)
-        x = a[0]
+        leaves0, tree0 = jax.tree_util.tree_flatten(a[0])
+        x = leaves0[0]
         if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
                 x.dtype, jnp.integer):
-            a[0] = x.at[(0,) * x.ndim].set(p.astype(x.dtype))
+            leaves0[0] = x.at[(0,) * x.ndim].set(p.astype(x.dtype))
+            a[0] = jax.tree_util.tree_unflatten(tree0, leaves0)
         return tuple(a)
 
     fb = feedback or default_feedback
