@@ -108,3 +108,52 @@ def test_augment_pipeline():
     aug2 = make_augment(crop=12, pad=0, flip=False)
     y3 = aug2(jax.random.PRNGKey(2), x)
     assert y3.shape == (8, 12, 12, 3)
+
+
+def test_image_ingestion_roundtrip(tmp_path):
+    """Standard image formats (PPM/PGM/BMP/MHD) -> XSD1 -> DataLoader
+    (closes the r2 L7 'no standard image ingestion' gap)."""
+    import numpy as np
+    from xsmm_tpu.utils import images as im
+    from xsmm_tpu.utils.dataset import DataLoader
+    rng = np.random.default_rng(0)
+    # exact roundtrips per format
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    p = str(tmp_path / "a.ppm"); im.write_pnm(p, rgb)
+    assert np.array_equal(im.read_image(p), rgb)
+    gray = rng.integers(0, 256, (11, 9), dtype=np.uint8)
+    p = str(tmp_path / "g.pgm"); im.write_pnm(p, gray)
+    assert np.array_equal(im.read_image(p)[:, :, 0], gray)
+    p = str(tmp_path / "b.bmp"); im.write_bmp(p, rgb)
+    assert np.array_equal(im.read_image(p), rgb)
+    # class-directory ingestion -> packed dataset -> loader
+    root = tmp_path / "data"
+    for ci, cls in enumerate(["cat", "dog"]):
+        (root / cls).mkdir(parents=True)
+        for i in range(3):
+            img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            im.write_bmp(str(root / cls / f"{i}.bmp"), img)
+        im.write_pnm(str(root / cls / "x.ppm"),
+                     rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    man = im.ingest_image_dir(str(root), str(tmp_path / "out.xsd"),
+                              hw=(16, 16))
+    assert man["classes"] == ["cat", "dog"] and man["n_images"] == 8
+    batches = list(DataLoader(str(tmp_path / "out.xsd"), batch=4,
+                              epochs=1))
+    assert len(batches) == 2
+    x, y = batches[0]
+    assert x.shape == (4, 16, 16, 3) and x.dtype == np.float32
+    assert set(np.concatenate([b[1] for b in batches]).tolist()) == {0, 1}
+
+
+def test_image_resize_modes():
+    import numpy as np
+    from xsmm_tpu.utils import images as im
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    down = im.resize(img, (8, 8))      # area-average (divisible)
+    assert down.shape == (8, 8, 3)
+    assert abs(int(down[0, 0, 0]) - int(np.mean(img[:2, :2, 0]))) <= 1
+    odd = im.resize(img, (10, 7))      # nearest (non-divisible)
+    assert odd.shape == (10, 7, 3)
+    up = im.resize(img, (32, 32))
+    assert up.shape == (32, 32, 3)

@@ -107,3 +107,53 @@ def test_trace_scope_runs():
     name = trace.kernel_name("smm", type("D", (), {
         "m": 4, "n": 5, "k": 6, "in_dtype": "float32", "batch": 2})())
     assert "4x5x6" in name and name.endswith(".smm")
+
+
+def test_scratch_limit_parsing(monkeypatch):
+    from xsmm_tpu.utils import scratch
+    monkeypatch.setenv("XSMM_SCRATCH_LIMIT", "512M")
+    assert scratch.scratch_limit() == 512 * 1024 * 1024
+    monkeypatch.setenv("XSMM_SCRATCH_LIMIT", "2G")
+    assert scratch.scratch_limit() == 2 * 1024 ** 3
+    monkeypatch.setenv("XSMM_SCRATCH_LIMIT", "0")
+    assert scratch.scratch_limit() == 0
+
+
+def test_scratch_scope_reports():
+    from xsmm_tpu.utils import scratch
+    with scratch.scratch_scope("test") as rep:
+        pass
+    assert set(rep) >= {"peak_delta", "live_delta", "limit"}
+    # strict enforcement with faked backend stats (CPU reports none)
+    import pytest
+    stats = iter([{"bytes_in_use": 0, "peak_bytes_in_use": 0},
+                  {"bytes_in_use": 10, "peak_bytes_in_use": 100}])
+    orig = scratch.device_memory_stats
+    scratch.device_memory_stats = lambda device=None: next(stats)
+    try:
+        with pytest.raises(MemoryError, match="exceeds limit"):
+            with scratch.scratch_scope("x", limit=50, strict=True):
+                pass
+    finally:
+        scratch.device_memory_stats = orig
+
+
+def test_host_staging_pool_reuse():
+    import numpy as np
+    from xsmm_tpu.utils.scratch import HostStagingPool
+    pool = HostStagingPool(max_pools=4)
+    b1 = pool.buffer((8, 8), np.float32, "a")
+    b1[:] = 1.0
+    b2 = pool.buffer((8, 8), np.float32, "a")
+    assert b2 is b1                      # same thread, same key -> reuse
+    assert pool.nreuse == 1 and pool.nmallocs == 1
+    b3 = pool.buffer((8, 8), np.float32, "b")
+    assert b3 is not b1                  # different slot
+    # in-flight safety: mark + reuse blocks on the device array
+    import jax.numpy as jnp
+    d = jnp.zeros((8, 8), jnp.float32) + 1
+    pool.mark_in_flight(b1, d)
+    b4 = pool.buffer((8, 8), np.float32, "a")
+    assert b4 is b1
+    pool.clear()
+    assert pool.buffer((8, 8), np.float32, "a") is not None
