@@ -328,6 +328,20 @@ def dnn_kernels():
     dhs = jax.random.normal(key, (t, n, k), jnp.float32)
     dt = device_bench(cell._bwd, xt_, w, r, b, h0, c0, dhs, **_bench_kw())
     out["lstm_bf16_bwdupd_tflops"] = round(3 * flops / dt / 1e12, 1)
+    # GRU with the same hand-scheduled backward (round 3)
+    dg = RnnDesc(n=n, c=c, k=k, max_t=t, cell_type=CellType.GRU,
+                 in_dtype="bfloat16", out_dtype="bfloat16")
+    gcell = create_rnncell(dg)
+    wg = jax.random.normal(key, (c, 3 * k), jnp.float32) * 0.1
+    rg = jax.random.normal(key, (k, 3 * k), jnp.float32) * 0.1
+    bg = jnp.zeros((3 * k,), jnp.float32)
+    gflops = 2.0 * t * n * (c + k) * 3 * k
+    dt = device_bench(gcell._fwd, xt_, wg, rg, bg, h0, c0, **_bench_kw())
+    out["gru_bf16_fwd_tflops"] = round(gflops / dt / 1e12, 1)
+    dhg = jax.random.normal(key, (t, n, k), jnp.float32)
+    dt = device_bench(gcell._bwd, xt_, wg, rg, bg, h0, c0, dhg,
+                      **_bench_kw())
+    out["gru_bf16_bwdupd_tflops"] = round(3 * gflops / dt / 1e12, 1)
     # conv bf16 (cnnlayer config, space-to-depth active at K=64)
     from xsmm_tpu.dnn import ConvDesc, create_conv_layer
     cd = ConvDesc(n=32, c=64, h=56, w=56, k=64, r=3, s=3, u=1, v=1,

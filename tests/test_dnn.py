@@ -496,3 +496,91 @@ def test_batchnorm_running_stats_eval(rng):
     # and it must differ from batch-stat normalization (the old bug)
     y_batch, _ = bn.forward(x1, gamma, beta)
     assert float(np.abs(np.asarray(y_batch) - np.asarray(y1)).max()) > 1e-2
+
+
+def test_gru_bwd_matches_autodiff_gold(rng):
+    """The GRU custom-VJP backward (batched weight-grad GEMMs) must equal
+    autodiff through an independent plain-scan forward."""
+    n, c_, k, t = 4, 6, 5, 3
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.GRU)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, 3 * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, 3 * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((3 * k,)).astype(np.float32)
+    h0 = rng.standard_normal((n, k)).astype(np.float32)
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+
+    def ref_fwd(xv, wv, rv, bv, h0v):
+        def body(h, x_t):
+            zx = x_t @ wv
+            zr = h @ rv
+            ri = jax.nn.sigmoid(zx[:, :k] + zr[:, :k] + bv[:k])
+            zi = jax.nn.sigmoid(zx[:, k:2 * k] + zr[:, k:2 * k]
+                                + bv[k:2 * k])
+            gi = jnp.tanh(zx[:, 2 * k:] + ri * zr[:, 2 * k:]
+                          + bv[2 * k:])
+            h2 = (1 - zi) * gi + zi * h
+            return h2, h2
+        _, hs = jax.lax.scan(body, h0v, xv)
+        return jnp.sum(hs * dhs)
+
+    gold = jax.grad(ref_fwd, argnums=(0, 1, 2, 3, 4))(
+        *(jnp.asarray(v) for v in (xt_, w, r, b, h0)))
+    hs, _, _ = cell.forward(xt_, w, r, b, h0)
+    # fwd equality vs the independent reference first
+    def ref_seq(h):
+        out = []
+        hh = jnp.asarray(h0)
+        for tt in range(t):
+            zx = jnp.asarray(xt_[tt]) @ w
+            zr = hh @ r
+            ri = jax.nn.sigmoid(zx[:, :k] + zr[:, :k] + b[:k])
+            zi = jax.nn.sigmoid(zx[:, k:2*k] + zr[:, k:2*k] + b[k:2*k])
+            gi = jnp.tanh(zx[:, 2*k:] + ri * zr[:, 2*k:] + b[2*k:])
+            hh = (1 - zi) * gi + zi * hh
+            out.append(hh)
+        return jnp.stack(out)
+    xt.check(np.asarray(ref_seq(h0), np.float64), np.asarray(hs), TOL,
+             what="gru fwd")
+    grads = cell.backward_weight_update(xt_, w, r, b, dhs, h0)
+    dxt, dw, dr, db, dh0, _dc0 = grads
+    for got, ref, name in ((dxt, gold[0], "dx"), (dw, gold[1], "dw"),
+                           (dr, gold[2], "dr"), (db, gold[3], "db"),
+                           (dh0, gold[4], "dh0")):
+        xt.check(np.asarray(ref, np.float64), np.asarray(got), TOL,
+                 what=f"gru {name}")
+
+
+@pytest.mark.parametrize("ct", [CellType.RNN_RELU, CellType.RNN_SIGMOID,
+                                CellType.RNN_TANH])
+def test_rnn_bwd_matches_autodiff_gold(rng, ct):
+    n, c_, k, t = 4, 6, 5, 3
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct)
+    cell = create_rnncell(d)
+    act = {CellType.RNN_RELU: jax.nn.relu,
+           CellType.RNN_SIGMOID: jax.nn.sigmoid,
+           CellType.RNN_TANH: jnp.tanh}[ct]
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, k)) * 0.4).astype(np.float32)
+    r = (rng.standard_normal((k, k)) * 0.4).astype(np.float32)
+    b = rng.standard_normal((k,)).astype(np.float32)
+    h0 = rng.standard_normal((n, k)).astype(np.float32)
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+
+    def ref_fwd(xv, wv, rv, bv, h0v):
+        def body(h, x_t):
+            h2 = act(x_t @ wv + h @ rv + bv)
+            return h2, h2
+        _, hs = jax.lax.scan(body, h0v, xv)
+        return jnp.sum(hs * dhs)
+
+    gold = jax.grad(ref_fwd, argnums=(0, 1, 2, 3, 4))(
+        *(jnp.asarray(v) for v in (xt_, w, r, b, h0)))
+    grads = cell.backward_weight_update(xt_, w, r, b, dhs, h0)
+    dxt, dw, dr, db, dh0, _dc0 = grads
+    for got, ref, name in ((dxt, gold[0], "dx"), (dw, gold[1], "dw"),
+                           (dr, gold[2], "dr"), (db, gold[3], "db"),
+                           (dh0, gold[4], "dh0")):
+        xt.check(np.asarray(ref, np.float64), np.asarray(got), TOL,
+                 what=f"{ct} {name}")

@@ -5,12 +5,16 @@ libxsmm_dnn_rnncell_st_lstm_fwd_nc_kcck.tpl.c): per-timestep batch-reduce
 GEMMs W.x_t and R.h_{t-1} feeding fused sigmoid/tanh gate elementwise code,
 sequential T loop with a barrier per step; gate order i, c(=g), f, o.
 
-TPU-native: lax.scan over T; the two per-step GEMMs fuse into ONE MXU matmul
-by concatenating [x_t, h_{t-1}] against [W; R] (the batch-reduce-GEMM trick
-of ops/smm.BatchReduceGemm applied at the layer level); gate math is a fused
-VPU epilogue.  Backward is the VJP through the scan — XLA re-materializes
-per-step intermediates the same way the reference's bwd/upd templates
-re-walk the stored gate activations.
+TPU-native: lax.scan over T.  LSTM fuses the two per-step GEMMs into ONE
+MXU matmul by concatenating [x_t, h_{t-1}] against [W; R]; GRU/RNN hoist
+the whole input projection x@W out of the scan as one flat [T*N, C] GEMM
+(the reference's "diffused" W.x overlap) so only h@R stays sequential.
+Gate math is a fused VPU epilogue.  Backward is hand-scheduled via
+custom_vjp for ALL cell types (the bwdupd-template structure): the reverse
+scan does only gate-gradient elementwise + dh_prev = dz@R^T, and dx/dw/dr
+are flat MXU GEMMs over T*N afterward — the autodiff VJP instead carried
+the weight-gradient accumulator through the loop, which HBM-bound the
+backward at ~49% of peak (perf_notes.md "LSTM backward study").
 
 Weight layout: w [C, G*K], r [K, G*K], b [G*K] with G gates ordered
 (i, c, f, o) for LSTM and (r, z, g) for GRU — matching the reference's
@@ -46,40 +50,6 @@ class RnnCell:
                CellType.RNN_SIGMOID: jax.nn.sigmoid,
                CellType.RNN_TANH: jnp.tanh}.get(d.cell_type)
         prec = _prec(d.in_dtype)
-
-        def step(carry, x_t, w, r, b, wr=None):
-            h, c = carry
-            if d.cell_type == CellType.LSTM:
-                # ONE MXU matmul per step: [x_t, h] @ [W; R] — the
-                # batch-reduce-GEMM trick at the layer level (wr is the
-                # pre-concatenated [C+K, 4K] operand, built once per call)
-                z = jnp.matmul(jnp.concatenate([x_t, h], axis=1), wr,
-                               precision=prec,
-                               preferred_element_type=jnp.float32) + b
-                i = jax.nn.sigmoid(z[:, 0 * k:1 * k])
-                g = jnp.tanh(z[:, 1 * k:2 * k])
-                f = jax.nn.sigmoid(z[:, 2 * k:3 * k])
-                o = jax.nn.sigmoid(z[:, 3 * k:4 * k])
-                c2 = f * c + i * g
-                h2 = o * jnp.tanh(c2)
-                return (h2, c2)
-            if d.cell_type == CellType.GRU:
-                zx = jnp.matmul(x_t, w, precision=prec,
-                                preferred_element_type=jnp.float32)
-                zr = jnp.matmul(h, r, precision=prec,
-                                preferred_element_type=jnp.float32)
-                ri = jax.nn.sigmoid(zx[:, 0:k] + zr[:, 0:k] + b[0:k])
-                zi = jax.nn.sigmoid(zx[:, k:2 * k] + zr[:, k:2 * k]
-                                    + b[k:2 * k])
-                gi = jnp.tanh(zx[:, 2 * k:3 * k] + ri * zr[:, 2 * k:3 * k]
-                              + b[2 * k:3 * k])
-                h2 = (1.0 - zi) * gi + zi * h
-                return (h2, c)
-            z = (jnp.matmul(x_t, w, precision=prec,
-                            preferred_element_type=jnp.float32)
-                 + jnp.matmul(h, r, precision=prec,
-                              preferred_element_type=jnp.float32) + b)
-            return (act(z), c)
 
         # -- LSTM core with a hand-scheduled backward --------------------
         # The autodiff VJP of the forward scan accumulates dwr [C+K,4K]
@@ -161,21 +131,142 @@ class RnnCell:
 
         lstm_core.defvjp(lstm_core_f, lstm_core_b)
 
+        # -- GRU / simple-RNN cores, same backward discipline ------------
+        # Forward: the input projection x@W (+b) for ALL steps is ONE flat
+        # MXU GEMM before the scan (the reference's "diffused" W.x overlap,
+        # lstm/gru fwd templates); only h@R stays sequential.  Backward:
+        # reverse scan emits per-step gate grads, then dx/dw/dr are flat
+        # GEMMs over T*N — no weight-grad accumulator in the loop carry.
+        def _mm(a, bm):
+            return jnp.matmul(a, bm, precision=prec,
+                              preferred_element_type=jnp.float32)
+
+        def _gru_core_fwd(xt_f, w_, r_, b_, h0):
+            t_, n_, c_in = xt_f.shape
+            zx = (_mm(xt_f.reshape(t_ * n_, c_in), w_) + b_
+                  ).reshape(t_, n_, 3 * k)
+
+            def body(h, zx_t):
+                zr = _mm(h, r_)
+                ri = jax.nn.sigmoid(zx_t[:, :k] + zr[:, :k])
+                zi = jax.nn.sigmoid(zx_t[:, k:2 * k] + zr[:, k:2 * k])
+                zr_g = zr[:, 2 * k:]
+                gi = jnp.tanh(zx_t[:, 2 * k:] + ri * zr_g)
+                h2 = (1.0 - zi) * gi + zi * h
+                return h2, (h2, ri, zi, gi, zr_g)
+
+            h_t, (hs, ris, zis, gis, zrgs) = jax.lax.scan(body, h0, zx)
+            return (hs, h_t), (ris, zis, gis, zrgs)
+
+        @jax.custom_vjp
+        def gru_core(xt_f, w_, r_, b_, h0):
+            return _gru_core_fwd(xt_f, w_, r_, b_, h0)[0]
+
+        def gru_core_f(xt_f, w_, r_, b_, h0):
+            out, res = _gru_core_fwd(xt_f, w_, r_, b_, h0)
+            return out, (xt_f, w_, r_, h0, out[0], res)
+
+        def gru_core_b(saved, cot):
+            xt_f, w_, r_, h0, hs, (ris, zis, gis, zrgs) = saved
+            dhs, dh_t = cot
+            t_, n_, c_in = xt_f.shape
+            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+            r_t = r_.T
+
+            def body(dh_next, inp):
+                dh_out, ri, zi, gi, zr_g, hp = inp
+                dh = dh_out.astype(jnp.float32) + dh_next
+                dzi_pre = dh * (hp - gi) * zi * (1.0 - zi)
+                dgi_pre = dh * (1.0 - zi) * (1.0 - gi * gi)
+                dri_pre = dgi_pre * zr_g * ri * (1.0 - ri)
+                dzx = jnp.concatenate([dri_pre, dzi_pre, dgi_pre], axis=1)
+                dzr = jnp.concatenate([dri_pre, dzi_pre, dgi_pre * ri],
+                                      axis=1)
+                dh_prev = dh * zi + _mm(dzr, r_t)
+                return dh_prev, (dzx, dzr)
+
+            dh0, (dzxs, dzrs) = jax.lax.scan(
+                body, dh_t.astype(jnp.float32),
+                (dhs, ris, zis, gis, zrgs, h_prev), reverse=True)
+            dzx_flat = dzxs.reshape(t_ * n_, 3 * k)
+            dzr_flat = dzrs.reshape(t_ * n_, 3 * k)
+            dx = _mm(dzx_flat, w_.T).reshape(t_, n_, c_in)
+            dw = _mm(xt_f.reshape(t_ * n_, c_in).T, dzx_flat)
+            dr = _mm(h_prev.reshape(t_ * n_, k).T, dzr_flat)
+            db = jnp.sum(dzx_flat, axis=0)
+            return dx, dw, dr, db, dh0
+
+        gru_core.defvjp(gru_core_f, gru_core_b)
+
+        def _rnn_core_fwd(xt_f, w_, r_, b_, h0):
+            t_, n_, c_in = xt_f.shape
+            zx = (_mm(xt_f.reshape(t_ * n_, c_in), w_) + b_
+                  ).reshape(t_, n_, k)
+
+            def body(h, zx_t):
+                h2 = act(zx_t + _mm(h, r_))
+                return h2, h2
+
+            h_t, hs = jax.lax.scan(body, h0, zx)
+            return hs, h_t
+
+        @jax.custom_vjp
+        def rnn_core(xt_f, w_, r_, b_, h0):
+            return _rnn_core_fwd(xt_f, w_, r_, b_, h0)
+
+        def rnn_core_f(xt_f, w_, r_, b_, h0):
+            out = _rnn_core_fwd(xt_f, w_, r_, b_, h0)
+            return out, (xt_f, w_, r_, h0, out[0])
+
+        def rnn_core_b(saved, cot):
+            xt_f, w_, r_, h0, hs = saved
+            dhs, dh_t = cot
+            t_, n_, c_in = xt_f.shape
+            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+            r_t = r_.T
+            ct = d.cell_type
+
+            def dact(h2):
+                # activation derivative from the OUTPUT (all three acts
+                # admit it): relu' = 1[h2>0], sig' = h2(1-h2),
+                # tanh' = 1-h2^2
+                if ct == CellType.RNN_RELU:
+                    return (h2 > 0).astype(jnp.float32)
+                if ct == CellType.RNN_SIGMOID:
+                    return h2 * (1.0 - h2)
+                return 1.0 - h2 * h2
+
+            def body(dh_next, inp):
+                dh_out, h2 = inp
+                dz = (dh_out.astype(jnp.float32) + dh_next) * dact(h2)
+                return _mm(dz, r_t), dz
+
+            dh0, dzs = jax.lax.scan(body, dh_t.astype(jnp.float32),
+                                    (dhs, hs), reverse=True)
+            dz_flat = dzs.reshape(t_ * n_, k)
+            dx = _mm(dz_flat, w_.T).reshape(t_, n_, c_in)
+            dw = _mm(xt_f.reshape(t_ * n_, c_in).T, dz_flat)
+            dr = _mm(h_prev.reshape(t_ * n_, k).T, dz_flat)
+            db = jnp.sum(dz_flat, axis=0)
+            return dx, dw, dr, db, dh0
+
+        rnn_core.defvjp(rnn_core_f, rnn_core_b)
+
         def fwd(xt, w, r, b, h0, c0):
             h0 = h0.astype(jnp.float32)
             c0 = (c0.astype(jnp.float32) if c0 is not None
                   else jnp.zeros_like(h0))
+            out_dt = jnp.dtype(d.out_dtype)
             if d.cell_type == CellType.LSTM:
                 wr = jnp.concatenate([w, r], axis=0)
                 hs, h_t, c_t = lstm_core(xt.astype(jnp.float32), wr, b,
                                          h0, c0)
-                return hs.astype(jnp.dtype(d.out_dtype)), h_t, c_t
-
-            def body(carry, x_t):
-                nxt = step(carry, x_t.astype(jnp.float32), w, r, b, None)
-                return nxt, nxt[0]
-            (h_t, c_t), hs = jax.lax.scan(body, (h0, c0), xt)
-            return hs.astype(jnp.dtype(d.out_dtype)), h_t, c_t
+                return hs.astype(out_dt), h_t, c_t
+            if d.cell_type == CellType.GRU:
+                hs, h_t = gru_core(xt.astype(jnp.float32), w, r, b, h0)
+                return hs.astype(out_dt), h_t, c0
+            hs, h_t = rnn_core(xt.astype(jnp.float32), w, r, b, h0)
+            return hs.astype(out_dt), h_t, c0
 
         self._fwd = jax.jit(fwd)
 
