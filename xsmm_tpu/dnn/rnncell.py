@@ -180,16 +180,20 @@ class RnnCell:
                 dgi_pre = dh * (1.0 - zi) * (1.0 - gi * gi)
                 dri_pre = dgi_pre * zr_g * ri * (1.0 - ri)
                 dzx = jnp.concatenate([dri_pre, dzi_pre, dgi_pre], axis=1)
-                dzr = jnp.concatenate([dri_pre, dzi_pre, dgi_pre * ri],
-                                      axis=1)
+                dgiri = dgi_pre * ri
+                dzr = jnp.concatenate([dri_pre, dzi_pre, dgiri], axis=1)
                 dh_prev = dh * zi + _mm(dzr, r_t)
-                return dh_prev, (dzx, dzr)
+                # emit dzx + only dzr's g-column: its r,z parts equal
+                # dzx's, so the full dzr is reassembled post-scan — 33%
+                # less residual emit traffic than stacking both streams
+                return dh_prev, (dzx, dgiri)
 
-            dh0, (dzxs, dzrs) = jax.lax.scan(
+            dh0, (dzxs, dgiris) = jax.lax.scan(
                 body, dh_t.astype(jnp.float32),
                 (dhs, ris, zis, gis, zrgs, h_prev), reverse=True)
             dzx_flat = dzxs.reshape(t_ * n_, 3 * k)
-            dzr_flat = dzrs.reshape(t_ * n_, 3 * k)
+            dzr_flat = jnp.concatenate(
+                [dzx_flat[:, :2 * k], dgiris.reshape(t_ * n_, k)], axis=1)
             dx = _mm(dzx_flat, w_.T).reshape(t_, n_, c_in)
             dw = _mm(xt_f.reshape(t_ * n_, c_in).T, dzx_flat)
             dr = _mm(h_prev.reshape(t_ * n_, k).T, dzr_flat)
