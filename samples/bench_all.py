@@ -386,15 +386,19 @@ def dnn_kernels():
                         dtype="float32")
     pool = create_pooling_layer(pdesc)
     xp = jax.random.normal(key, (np_, hp_, hp_, cp_), jnp.float32)
+    # CLAUDE.md rule 11: under a sum probe the output write can fuse into
+    # the probe and never hit HBM — count only the guaranteed input read
     dt = device_bench(pool._fwd, xp, **_bench_kw())
-    out["pooling_max_fwd_gbps"] = round(
-        (np_ * hp_ * hp_ * cp_ + np_ * pdesc.out_h * pdesc.out_w * cp_)
-        * 4 / dt / 1e9, 1)
+    out["pooling_max_fwd_read_gbps"] = round(
+        np_ * hp_ * hp_ * cp_ * 4 / dt / 1e9, 1)
     bdesc = BnDesc(n=np_, c=cp_, h=hp_, w=hp_, fuse=BnFuse.RELU)
     bn = create_fusedbatchnorm(bdesc)
     gam = jnp.ones((cp_,), jnp.float32)
     bet = jnp.zeros((cp_,), jnp.float32)
-    dt = device_bench(bn._fwd, xp, gam, bet, **_bench_kw())
+    # output->input feedback forces y's materialization (rule 11)
+    dt = device_bench(bn._fwd, xp, gam, bet,
+                      feedback=lambda o, a: (o[0].astype(a[0].dtype),)
+                      + a[1:], **_bench_kw())
     out["fusedbn_fwd_relu_gbps"] = round(
         3 * np_ * hp_ * hp_ * cp_ * 4 / dt / 1e9, 1)
     # FusedConvBN training delta (VERDICT r2 #7): resnet18/w64 img/s,

@@ -58,9 +58,12 @@ def drive_pooling(dtype):
         key = jax.random.PRNGKey(0)
         x = jax.random.normal(key, (n, h, w, c), jnp.float32)
         isz = 2 if dtype == "bfloat16" else 4
-        nbytes = (n * h * w * c + n * d.out_h * d.out_w * c) * isz
+        # count only the guaranteed input read: the out write can fuse
+        # into the sum probe (CLAUDE.md rule 11)
+        nbytes = n * h * w * c * isz
         measure(layer._fwd, x, nbytes=nbytes,
-                label=f"pooling {op.value} fwd {dtype} N{n} C{c} H{h} 2x2s2")
+                label=f"pooling {op.value} fwd (input-read rate) "
+                      f"{dtype} N{n} C{c} H{h} 2x2s2")
         dy = jax.random.normal(key, (n, d.out_h, d.out_w, c), jnp.float32)
         # bwd traffic: read dy [out] + write dx [in]; max also re-reads x
         # to rebuild the argmax mask
@@ -87,14 +90,18 @@ def drive_bn(dtype):
     beta = jnp.zeros((c,), jnp.float32)
     isz = 2 if dtype == "bfloat16" else 4
     elems = n * h * w * c
-    # fwd: stats pass reads x, normalize pass reads x + writes y
+    # fwd: stats pass reads x, normalize pass reads x + writes y.
+    # Output->input feedback forces y's materialization (CLAUDE.md rule
+    # 11: the sum probe alone lets XLA fuse y's write away)
     nbytes = 3 * elems * isz
     measure(layer._fwd, x, gamma, beta, nbytes=nbytes,
-            label=f"fusedbn fwd+relu {dtype} N{n} C{c} H{h}")
+            label=f"fusedbn fwd+relu {dtype} N{n} C{c} H{h}",
+            feedback=lambda o, a: (o[0].astype(a[0].dtype),) + a[1:])
     _y, state = layer._fwd(x, gamma, beta)
     dy = jax.random.normal(key, (n, h, w, c), jnp.float32)
     measure(layer._bwd, dy, gamma, state, nbytes=4 * elems * isz,
-            label="fusedbn bwd")
+            label="fusedbn bwd",
+            feedback=lambda o, a: (o[0].astype(a[0].dtype),) + a[1:])
     # inference path: one elementwise pass (global stats, no reductions).
     # The output must feed the next iteration's INPUT: y is an affine map
     # of x, and with only a sum-probe XLA rewrites sum(y) to an affine map

@@ -157,3 +157,29 @@ def test_image_resize_modes():
     assert odd.shape == (10, 7, 3)
     up = im.resize(img, (32, 32))
     assert up.shape == (32, 32, 3)
+
+
+def test_image_edge_cases(tmp_path):
+    """Review-finding regressions: low-maxval netpbm rescales, float
+    images in [0,1] scale to u8, volumes are rejected loudly."""
+    import numpy as np
+    import pytest
+    from xsmm_tpu.utils import images as im
+    from xsmm_tpu.utils.mhd import mhd_write
+    # maxval=15 P6: values rescale to full range
+    p = str(tmp_path / "low.ppm")
+    with open(p, "wb") as f:
+        f.write(b"P6\n2 1\n15\n" + bytes([15, 0, 7, 15, 15, 15]))
+    img = im.read_image(p)
+    assert img[0, 0, 0] == 255 and img[0, 0, 2] == 119 and \
+        img[0, 1, 0] == 255
+    # [0,1] float MHD scales, not clips
+    p = str(tmp_path / "f.mhd")
+    mhd_write(p, np.full((4, 4), 0.5, np.float32))
+    img = im.read_image(p)
+    assert 120 <= img[0, 0, 0] <= 135
+    # a [D,H,W] volume is rejected, not mislabeled
+    p = str(tmp_path / "v.mhd")
+    mhd_write(p, np.zeros((5, 6, 7), np.float32))
+    with pytest.raises(ValueError, match="volume"):
+        im.read_image(p)

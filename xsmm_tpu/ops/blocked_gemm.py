@@ -93,19 +93,19 @@ class BlockedGemmHandle:
     # f64 operands return (hi, lo) block pairs.
     def copyin_a(self, a):
         if self.is_f64:
-            hi, lo = split_f64(a)
+            hi, lo = split_f64(a, slot="a")
             return self._blk_a(hi), self._blk_a(lo)
         return self._blk_a(jnp.asarray(a))
 
     def copyin_b(self, b):
         if self.is_f64:
-            hi, lo = split_f64(b)
+            hi, lo = split_f64(b, slot="b")
             return self._blk_b(hi), self._blk_b(lo)
         return self._blk_b(jnp.asarray(b))
 
     def copyin_c(self, c):
         if self.is_f64:
-            hi, lo = split_f64(c)
+            hi, lo = split_f64(c, slot="c")
             return self._blk_c(hi), self._blk_c(lo)
         return self._blk_c(jnp.asarray(c))
 

@@ -364,7 +364,7 @@ class TrsmKernel:
                             np.float64)
             return x0 + dx
         if self.is_f64 and (refine or refine is None):
-            ah, al = split_f64(a)
+            ah, al = split_f64(a, slot="a")
             bh, bl = split_f64(np.asarray(b, np.float64) * alpha)
             x0, dx = self._fn_refined(ah, al, bh, bl)
             return np.asarray(x0, np.float64) + np.asarray(dx, np.float64)

@@ -57,7 +57,12 @@ def read_pnm(path: str) -> np.ndarray:
     i += 1  # single whitespace after maxval
     c = 3 if rgb else 1
     px = np.frombuffer(data, np.uint8, count=h * w * c, offset=i)
-    return px.reshape(h, w, c)
+    img = px.reshape(h, w, c)
+    if maxval != 255:
+        # netpbm values are relative to maxval: rescale to full range
+        img = np.clip(np.round(img.astype(np.float32) * (255.0 / maxval)),
+                      0, 255).astype(np.uint8)
+    return img
 
 
 def write_pnm(path: str, img: np.ndarray) -> None:
@@ -130,7 +135,18 @@ def read_image(path: str) -> np.ndarray:
     img = np.asarray(reader(path))
     if img.ndim == 2:
         img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        # e.g. a [D,H,W] MHD volume: depth is NOT a channel axis — force
+        # the caller to slice explicitly rather than silently mislabel
+        raise ValueError(
+            f"{path}: shape {img.shape} is not a 2-D image (volumes must "
+            f"be sliced before ingestion)")
     if img.dtype != np.uint8:
+        # float images in [0,1] scale to the u8 range; anything else
+        # clips (integer types are already absolute)
+        if np.issubdtype(img.dtype, np.floating) and img.size \
+                and float(np.nanmax(np.abs(img))) <= 1.0:
+            img = img * 255.0
         img = np.clip(img, 0, 255).astype(np.uint8)
     return img
 

@@ -67,9 +67,14 @@ def get_scratch_info(device=None) -> ScratchInfo:
 
 
 def scratch_limit() -> int:
-    """XSMM_SCRATCH_LIMIT in bytes (suffixes K/M/G; 0 = unlimited) —
-    the LIBXSMM_SCRATCH_LIMIT surface."""
-    v = os.environ.get("XSMM_SCRATCH_LIMIT", "0").strip().upper()
+    """XSMM_SCRATCH_LIMIT in bytes (suffixes K/M/G or KB/MB/GB;
+    0 = unlimited) — the LIBXSMM_SCRATCH_LIMIT surface.  An unparsable
+    value raises: silently disabling a limit the user configured is
+    worse than failing loudly."""
+    raw = os.environ.get("XSMM_SCRATCH_LIMIT", "0")
+    v = raw.strip().upper()
+    if v.endswith("B") and len(v) > 1 and v[-2] in "KMG":
+        v = v[:-1]
     mult = 1
     for suf, m in (("K", 1 << 10), ("M", 1 << 20), ("G", 1 << 30)):
         if v.endswith(suf):
@@ -78,7 +83,9 @@ def scratch_limit() -> int:
     try:
         return int(float(v) * mult)
     except ValueError:
-        return 0
+        raise ValueError(
+            f"XSMM_SCRATCH_LIMIT={raw!r} is not a byte count "
+            f"(expected e.g. 512M, 2G, 1073741824)") from None
 
 
 @contextlib.contextmanager
@@ -95,10 +102,18 @@ def scratch_scope(label: str = "", limit: Optional[int] = None,
     yield report
     after = device_memory_stats(device)
     lim = scratch_limit() if limit is None else limit
-    peak_delta = (after.get("peak_bytes_in_use", 0)
-                  - before.get("bytes_in_use", 0)) if after else 0
     live_delta = (after.get("bytes_in_use", 0)
                   - before.get("bytes_in_use", 0)) if after else 0
+    # the allocator's peak_bytes_in_use is a PROCESS-lifetime high-water
+    # mark: only when the scope raises it is the scope's own peak
+    # observable (new peak minus pre-scope live); otherwise the best
+    # bound available is the live delta
+    pb = before.get("peak_bytes_in_use", 0)
+    pa = after.get("peak_bytes_in_use", 0) if after else 0
+    if pa > pb:
+        peak_delta = pa - before.get("bytes_in_use", 0)
+    else:
+        peak_delta = max(live_delta, 0)
     report.update(peak_delta=max(peak_delta, 0),
                   live_delta=live_delta, limit=lim)
     if lim and report["peak_delta"] > lim:
@@ -118,13 +133,21 @@ class HostStagingPool:
     from it.  The next ``buffer()`` for the same key blocks on the
     recorded transfer first (PJRT may still be reading the host memory).
     Pool count bounded by XSMM_SCRATCH_POOLS keys (default 16, LRU).
+    The most recent in-flight device array per key stays referenced until
+    that key's next buffer() / eviction / clear() — call
+    ``release_scratch()`` to drop everything when a workload phase ends.
     """
 
     def __init__(self, max_pools: Optional[int] = None):
         self._max = max_pools or int(
             os.environ.get("XSMM_SCRATCH_POOLS", "16"))
         self._bufs: Dict[Tuple, np.ndarray] = {}
-        self._in_flight: Dict[int, object] = {}
+        # in-flight device arrays keyed by POOL KEY (not buffer id): an
+        # eviction drops the in-flight reference with the buffer, so
+        # nothing can leak past the pool's own bound; mark_in_flight on
+        # an already-evicted buffer is a silent no-op.
+        self._in_flight: Dict[Tuple, object] = {}
+        self._rev: Dict[int, Tuple] = {}   # id(buf) -> key while pooled
         self._lock = threading.Lock()
         self.nmallocs = 0
         self.nreuse = 0
@@ -134,8 +157,9 @@ class HostStagingPool:
                threading.get_ident())
         with self._lock:
             buf = self._bufs.pop(key, None)
-            pending = self._in_flight.pop(id(buf), None) if buf is not None \
-                else None
+            pending = self._in_flight.pop(key, None)
+            if buf is not None:
+                self._rev.pop(id(buf), None)
         if pending is not None:
             try:
                 pending.block_until_ready()
@@ -148,22 +172,26 @@ class HostStagingPool:
             self.nreuse += 1
         with self._lock:
             if len(self._bufs) >= self._max:
-                # LRU-ish: drop an arbitrary cold entry (dict preserves
-                # insertion order; first = oldest)
+                # LRU-ish: drop the oldest entry AND its in-flight ref
                 old_key = next(iter(self._bufs))
                 old = self._bufs.pop(old_key)
-                self._in_flight.pop(id(old), None)
+                self._in_flight.pop(old_key, None)
+                self._rev.pop(id(old), None)
             self._bufs[key] = buf
+            self._rev[id(buf)] = key
         return buf
 
     def mark_in_flight(self, buf: np.ndarray, device_array) -> None:
         with self._lock:
-            self._in_flight[id(buf)] = device_array
+            key = self._rev.get(id(buf))
+            if key is not None:
+                self._in_flight[key] = device_array
 
     def clear(self) -> None:
         with self._lock:
             self._bufs.clear()
             self._in_flight.clear()
+            self._rev.clear()
 
 
 _staging = HostStagingPool()
