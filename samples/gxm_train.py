@@ -12,6 +12,7 @@ prints images/s per epoch (Engine.cpp:600 analog), checkpoints per epoch
 when --ckpt is given, and resumes automatically from an existing checkpoint.
 """
 
+import os
 import sys
 
 from _common import measure  # noqa: F401  (path setup)
@@ -77,6 +78,17 @@ def main():
         key = jax.random.PRNGKey(1000 + epoch)
         for i, (x, y) in enumerate(it):
             yield aug(jax.random.fold_in(key, i), x), y
+
+    # --data may be a DIRECTORY of class subdirectories with standard
+    # image files (ppm/pgm/bmp/mhd): ingest to a packed XSD1 first — the
+    # GxM JPEG-dir -> LMDB dataset-prep step (utils/images.py)
+    if data and os.path.isdir(data):
+        from xsmm_tpu.utils.images import ingest_image_dir
+        out = os.path.join(data.rstrip("/") + ".xsd")
+        man = ingest_image_dir(data, out, hw=(hw, hw))
+        print(f"ingested {man['n_images']} images, "
+              f"{len(man['classes'])} classes -> {out}")
+        data = out
 
     batches_per_epoch = 20
     while eng.epoch < epochs:
