@@ -162,16 +162,23 @@ def test_gemm_flags_combos():
 
 def test_front_memo_hit_counts_and_generation():
     """Memo hits must advance the HIT stat; set_config drops stale
-    memo generations (code-review r3 findings)."""
+    memo generations; an at-capacity registry bypasses the memo
+    (code-review r3 findings).  Capacity-aware: under the tiny-registry
+    matrix config (XSMM_REGISTRY_CAPACITY=8) earlier tests exhaust the
+    table and the memo is DELIBERATELY not fed."""
     import xsmm_tpu as xt
     from xsmm_tpu.core.registry import get_registry
     reg = get_registry()
     xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+    at_capacity = len(reg._table) >= reg.capacity
     h0 = reg.stats.ncache_hit
     xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+    if at_capacity:
+        # over-capacity kernels must not be pinned by the memo
+        assert all(k_[0:3] != (19, 19, 19) for k_ in reg.front_memo)
+        return
     assert reg.stats.ncache_hit == h0 + 1
-    n_memo = len(reg.front_memo)
-    assert n_memo >= 1
+    assert len(reg.front_memo) >= 1
     prev = xt.get_config().gemm_threshold
     try:
         xt.set_config(gemm_threshold=prev)  # bumps the generation
