@@ -8,8 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, inception_v3,
-                             resnet, synthetic_batches)
+from xsmm_tpu.models import (MLEngine, SolverConfig, alexnet, cifar10net,
+                             googlenet, inception_v3, lenet, resnet,
+                             synthetic_batches)
 from xsmm_tpu.models.engine import _schedule
 from xsmm_tpu.parallel.mesh import make_mesh
 
@@ -62,6 +63,41 @@ def test_inception_v3_trains():
         out = eng.train_epoch(iter([(x, y)]), verbose=False)
         losses.append(out["loss"])
     assert losses[-1] < losses[0], losses
+
+
+def test_googlenet_v1_forward():
+    params, fwd = googlenet(num_classes=10, width=8)
+    # topology: 9 inception modules = 9 branch nodes (list params)
+    assert sum(isinstance(p, list) for p in params["layers"]) == 9
+    logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 10)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_lenet_forward_and_trains():
+    # LeNet exercises the valid-pad conv + flatten-fc path: 28x28x1 ->
+    # 24 -> 12 -> 8 -> 4 -> fc (lenet_train_val.prototxt shapes)
+    params, fwd = lenet(input_shape=(8, 28, 28, 1))
+    logits = fwd(params, jnp.zeros((8, 28, 28, 1)))
+    assert logits.shape == (8, 10)
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    # lr 0.002: no BN, so momentum-SGD on noise data oscillates at the
+    # lenet_solver.prototxt base_lr 0.01 (swept: 0.002 is smooth)
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.002, lr_policy="fixed"),
+                   mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 28, 28, 1)).astype(np.float32)
+    y = rng.integers(0, 10, (8,)).astype(np.int32)
+    losses = [eng.train_epoch(iter([(x, y)]), verbose=False)["loss"]
+              for _ in range(3)]
+    assert losses[-1] < losses[0], losses
+
+
+def test_cifar10net_forward():
+    params, fwd = cifar10net()
+    logits = fwd(params, jnp.zeros((8, 32, 32, 3)))
+    assert logits.shape == (8, 10)
+    assert bool(jnp.isfinite(logits).all())
 
 
 def test_lr_schedules():
