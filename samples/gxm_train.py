@@ -44,9 +44,24 @@ def main():
     batch = int(args[2]) if len(args) > 2 else \
         (256 if xt.platform.is_tpu() else 32)
 
+    classes, chans = 100, 3
     if model == "alexnet":
         params, fwd = alexnet(num_classes=100, dtype=dtype)
         hw = 64
+    elif model == "googlenet":
+        from xsmm_tpu.models import googlenet
+        params, fwd = googlenet(
+            num_classes=100, width=64 if xt.platform.is_tpu() else 8,
+            dtype=dtype)
+        hw = 64
+    elif model == "lenet":
+        from xsmm_tpu.models import lenet
+        params, fwd = lenet(num_classes=10, dtype=dtype)
+        hw, classes, chans = 28, 10, 1
+    elif model == "cifar10":
+        from xsmm_tpu.models import cifar10net
+        params, fwd = cifar10net(num_classes=10, dtype=dtype)
+        hw, classes = 32, 10
     elif model == "inception":
         params, fwd = inception_v3(
             num_classes=100, width=32 if xt.platform.is_tpu() else 8,
@@ -59,7 +74,10 @@ def main():
                              dtype=dtype)
         hw = 32
 
-    solver = SolverConfig(lr=0.1, lr_policy="poly", max_epochs=epochs)
+    # BN-less toy nets diverge at the resnet lr (see lenet_solver.prototxt
+    # base_lr 0.01)
+    lr = 0.01 if model in ("lenet", "cifar10") else 0.1
+    solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs)
     eng = MLEngine(params, fwd, solver, checkpoint_dir=ckpt)
     if ckpt and eng.resume():
         print(f"resumed at epoch {eng.epoch}")
@@ -100,16 +118,18 @@ def main():
             # device-generated data: measures the train step, not the
             # host->device tunnel (use --host-data for the full pipeline)
             train_iter = device_synthetic_batches(
-                batches_per_epoch, batch, hw=hw, classes=100, seed=eng.epoch,
-                sharding=eng._data_sharding)
+                batches_per_epoch, batch, hw=hw, classes=classes,
+                seed=eng.epoch, sharding=eng._data_sharding, chans=chans)
         else:
             train_iter = synthetic_batches(batches_per_epoch, batch, hw=hw,
-                                           classes=100, seed=eng.epoch)
+                                           classes=classes, seed=eng.epoch,
+                                           chans=chans)
         if aug is not None:
             train_iter = with_aug(train_iter, eng.epoch)
         eng.train_epoch(train_iter)
         metrics = eng.validate(synthetic_batches(4, batch, hw=hw,
-                                                 classes=100, seed=999))
+                                                 classes=classes, seed=999,
+                                                 chans=chans))
         print(f"validation: loss={metrics['loss']:.4f} acc={metrics['acc']:.3f}")
 
 

@@ -274,11 +274,12 @@ class MLEngine:
 
 
 def synthetic_batches(n_batches: int, batch: int, hw: int = 32,
-                      classes: int = 10, seed: int = 0):
+                      classes: int = 10, seed: int = 0, chans: int = 3):
     """Synthetic data pipeline (LMDB-free input analog)."""
     rng = np.random.default_rng(seed)
     for _ in range(n_batches):
-        yield (rng.standard_normal((batch, hw, hw, 3)).astype(np.float32),
+        yield (rng.standard_normal(
+                   (batch, hw, hw, chans)).astype(np.float32),
                rng.integers(0, classes, (batch,)).astype(np.int32))
 
 
@@ -328,7 +329,7 @@ def device_template_batches(n_batches: int, batch: int, hw: int = 32,
 
 def device_synthetic_batches(n_batches: int, batch: int, hw: int = 32,
                              classes: int = 10, seed: int = 0,
-                             sharding=None):
+                             sharding=None, chans: int = 3):
     """Device-generated synthetic batches: zero host->device transfer.
 
     On tunneled/remote-device setups the per-batch host transfer dominates
@@ -341,7 +342,7 @@ def device_synthetic_batches(n_batches: int, batch: int, hw: int = 32,
     @jax.jit
     def make(key):
         kx, ky = jax.random.split(key)
-        x = jax.random.normal(kx, (batch, hw, hw, 3), jnp.float32)
+        x = jax.random.normal(kx, (batch, hw, hw, chans), jnp.float32)
         y = jax.random.randint(ky, (batch,), 0, classes, jnp.int32)
         return x, y
 
