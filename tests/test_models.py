@@ -108,6 +108,9 @@ def test_lr_schedules():
     assert _schedule(cfg, 4) == pytest.approx(0.01)
     poly = SolverConfig(lr=1.0, lr_policy="poly", max_epochs=10, power=1.0)
     assert _schedule(poly, 5) == pytest.approx(0.5)
+    inv = SolverConfig(lr=1.0, lr_policy="inv", gamma=0.5, power=2.0)
+    assert _schedule(inv, 0) == pytest.approx(1.0)
+    assert _schedule(inv, 2) == pytest.approx(0.25)
 
 
 def test_train_loss_decreases():

@@ -36,10 +36,13 @@ class SolverConfig:
     lr: float = 0.1
     momentum: float = 0.9
     weight_decay: float = 1e-4
-    lr_policy: str = "fixed"        # fixed | step | poly
-    gamma: float = 0.1              # step decay factor
+    # Policies mirror the zoo solver.prototxt surface: fixed | step
+    # (= Caffe "multistep", explicit epoch list) | poly | inv
+    # (lr * (1 + gamma*epoch)^-power, the lenet_solver.prototxt policy)
+    lr_policy: str = "fixed"
+    gamma: float = 0.1              # step decay factor / inv denominator
     step_epochs: Tuple[int, ...] = (30, 60, 80)
-    power: float = 1.0              # poly exponent
+    power: float = 1.0              # poly / inv exponent
     max_epochs: int = 90
 
 
@@ -49,6 +52,8 @@ def _schedule(cfg: SolverConfig, epoch: float) -> float:
         return cfg.lr * (cfg.gamma ** drops)
     if cfg.lr_policy == "poly":
         return cfg.lr * (1.0 - epoch / cfg.max_epochs) ** cfg.power
+    if cfg.lr_policy == "inv":
+        return cfg.lr * (1.0 + cfg.gamma * epoch) ** -cfg.power
     return cfg.lr
 
 
