@@ -189,6 +189,11 @@ def config3_fsspmdm():
             "case": name, "nnz": h.nnz, "n": n, "strategy": h.strategy,
             "gnnz_per_s": round(h.nnz * n / dt / 1e9, 2),
             "gflops": round(2 * h.nnz * n / dt / 1e9, 1),
+            # B/C panels are a few MB: sustained rate with operands
+            # VMEM-resident across applications — the CP2K/nek stacked
+            # deployment case (perf_notes "VMEM residency"); not an HBM
+            # streaming rate
+            "regime": "resident",
         })
     return results
 
@@ -219,6 +224,9 @@ def config4_spmdm():
             "chosen_kind": s.kind,
             "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
             "gflops": round(2 * nnz * n / dt / 1e9, 1),
+            # ~20MB working set: VMEM-resident sustained rate (the
+            # repeated sparse-weight inference case), not HBM streaming
+            "regime": "resident",
         })
     return results
 
