@@ -2,12 +2,13 @@
 """End-to-end training CLI — the GxM sample analog.
 
   python samples/gxm_train.py [model] [epochs] [batch] [--ckpt DIR] \
-      [--data FILE.xsd]
+      [--data FILE.xsd | --data IMAGE_DIR/]
 
-model in {resnet18, resnet50, alexnet, inception}. Trains from a packed
-XSD1 dataset via the native prefetching loader when --data is given
-(utils/dataset.py, the GxM LMDB data-layer analog), else the synthetic
-pipeline;
+model in {resnet18, resnet34, resnet50, alexnet, inception, googlenet,
+lenet, cifar10}. Trains from a packed XSD1 dataset via the native
+prefetching loader when --data is given (utils/dataset.py, the GxM LMDB
+data-layer analog; a directory of class subfolders with ppm/pgm/bmp/mhd
+images is ingested to XSD1 first), else the synthetic pipeline;
 prints images/s per epoch (Engine.cpp:600 analog), checkpoints per epoch
 when --ckpt is given, and resumes automatically from an existing checkpoint.
 """
@@ -102,10 +103,17 @@ def main():
     # GxM JPEG-dir -> LMDB dataset-prep step (utils/images.py)
     if data and os.path.isdir(data):
         from xsmm_tpu.utils.images import ingest_image_dir
-        out = os.path.join(data.rstrip("/") + ".xsd")
-        man = ingest_image_dir(data, out, hw=(hw, hw))
-        print(f"ingested {man['n_images']} images, "
-              f"{len(man['classes'])} classes -> {out}")
+        out = data.rstrip("/") + ".xsd"
+        if os.path.exists(out):
+            print(f"using existing {out} (delete it to re-ingest)")
+        else:
+            man = ingest_image_dir(data, out, hw=(hw, hw), channels=chans)
+            if len(man["classes"]) > classes:
+                raise SystemExit(
+                    f"dataset has {len(man['classes'])} classes but "
+                    f"{model} was built with num_classes={classes}")
+            print(f"ingested {man['n_images']} images, "
+                  f"{len(man['classes'])} classes -> {out}")
         data = out
 
     batches_per_epoch = 20

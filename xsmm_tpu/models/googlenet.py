@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
-from ..dnn.layers import build_graph
+from ..dnn.layers import build_graph, make_model_forward
 
 
 def _c(v: int, width: int) -> int:
@@ -80,6 +80,4 @@ def googlenet(num_classes: int = 1000, width: int = 64, seed: int = 0,
     params = {"layers": init,
               "_meta": {"model": "googlenet_v1", "width": width,
                         "n_inception": 9}}
-
-    from ..dnn.layers import make_model_forward
     return params, make_model_forward(graph)

@@ -6,8 +6,13 @@ References:
     fc num_classes (the Caffe LeNet).
   samples/deeplearning/gxm/model_zoo/cifar10/train_val.prototxt —
     conv5x5-32, maxpool3/2, ReLU; conv5x5-32, ReLU, maxpool3/2;
-    conv5x5-64, ReLU, avgpool3/2 (pool1/2 MAX, pool3 AVE — kept
-    exactly); fc64, fc num_classes.
+    conv5x5-64, ReLU, avgpool3/2 (the MAX/MAX/AVE pooling sequence and
+    all channel/kernel sizes kept); fc64, fc num_classes.  Padding
+    semantics deliberately diverge: Caffe pools pad-0 with ceil
+    rounding, here 'same' padding gives the identical 16/8/4 output
+    sizes via XLA's reduce_window (border windows differ — avg divides
+    by the full 3x3 including pad; a model-weight port would need
+    retraining, the topology/benchmark role does not).
 
 Both run on the same ConvLayer / Pooling / FC handles as the big zoo
 members; they are the quick CPU-trainable members (GxM uses them as the
