@@ -452,6 +452,11 @@ def dispatch_latency():
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         _ROOT, "BENCH_extra.json")
+    # bounded tunnel-outage wait (bench.py helper) before first device use
+    if not headline_bench._wait_for_device(
+            float(os.environ.get("XSMM_BENCH_WAIT_S", 1800))):
+        print("bench_all: device unavailable after wait window; "
+              "attempting anyway", file=sys.stderr)
     xt.enable_compile_cache()
     out = {
         "device": xt.platform.target_name(),
