@@ -430,6 +430,37 @@ def dnn_kernels():
     return out
 
 
+def zoo_imgs():
+    """Training img/s for the remaining reference zoo members
+    (GxM model_zoo: googlenet/v1, lenet on mnist shapes, cifar10) —
+    ResNet-18 is captured in dnn_kernels.  Device-generated data
+    (measures the train step, not the tunnel); epoch 0 compiles,
+    epoch 1 is reported.  Shapes match samples/gxm_train.py defaults."""
+    if not xt.platform.is_tpu():
+        return {"skipped": "cpu"}
+    import xsmm_tpu.models as _m
+    from xsmm_tpu.models import MLEngine, SolverConfig
+    from xsmm_tpu.models.engine import device_synthetic_batches
+    from xsmm_tpu.parallel.mesh import make_mesh
+    out = {}
+    zoo = (("img_s_googlenet_w64", "googlenet",
+            dict(num_classes=100, width=64), 64, 100, 3),
+           ("img_s_lenet", "lenet", dict(num_classes=10), 28, 10, 1),
+           ("img_s_cifar10", "cifar10net", dict(num_classes=10), 32, 10, 3))
+    for tag, name, kw, hw, classes, chans in zoo:
+        params, fwd = getattr(_m, name)(**kw)
+        eng = MLEngine(params, fwd, SolverConfig(lr=0.01),
+                       mesh=make_mesh((1, 1), ("dp", "mp")))
+        for ep in range(2):
+            res = eng.train_epoch(
+                device_synthetic_batches(10, 256, hw=hw, classes=classes,
+                                         seed=ep, chans=chans,
+                                         sharding=eng._data_sharding),
+                verbose=False)
+        out[tag] = round(res["images_per_s"], 0)
+    return out
+
+
 def dispatch_latency():
     """Registry hot-path latencies (samples/dispatch_driver.py, run as a
     subprocess so its registry stress does not pollute this process)."""
@@ -466,6 +497,7 @@ def main():
         "config4_spmdm": config4_spmdm(),
         "config5_packed_blocked": config5_packed_blocked(),
         "dnn_kernels": dnn_kernels(),
+        "zoo": zoo_imgs(),
         "dispatch": dispatch_latency(),
     }
     with open(out_path, "w") as f:

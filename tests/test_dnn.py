@@ -379,6 +379,40 @@ def test_other_cells_run(rng, ct):
     assert np.isfinite(np.asarray(hs)).all()
 
 
+@pytest.mark.parametrize("ct", [CellType.LSTM, CellType.GRU,
+                                CellType.RNN_TANH])
+def test_rnn_scan_fallback_matches_pallas(rng, ct):
+    """The XLA lax.scan fallback (shapes outside rnn_seq's envelope /
+    compiled non-TPU backends) must agree with the scan-fused Pallas
+    path that interpret mode takes by default."""
+    from xsmm_tpu.core.config import set_config
+    n, c_, k, t = 8, 10, 12, 4
+    g = {CellType.LSTM: 4, CellType.GRU: 3}.get(ct, 1)
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, g * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, g * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((g * k,)).astype(np.float32)
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+
+    def run():
+        cell = create_rnncell(d)
+        hs, hT, cT = cell.forward(xt_, w, r, b)
+        grads = cell.backward_weight_update(xt_, w, r, b, dhs)
+        return [np.asarray(hs), np.asarray(hT)] + \
+            [np.asarray(gr) for gr in grads]
+
+    pallas_out = run()           # interpret mode -> rnn_seq path
+    set_config(interpret=False)  # non-TPU + no interpret -> scan path
+    try:
+        scan_out = run()
+    finally:
+        set_config(interpret=None)
+    for a, bb in zip(pallas_out, scan_out):
+        xt.check(a.astype(np.float64), bb.astype(np.float64), 1e-4,
+                 what=f"{ct} scan-vs-pallas")
+
+
 def test_rnn_tanh_matches_gold(rng):
     n, c_, k, t = 4, 5, 6, 4
     d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=CellType.RNN_TANH)

@@ -5,10 +5,13 @@ libxsmm_dnn_rnncell_st_lstm_fwd_nc_kcck.tpl.c): per-timestep batch-reduce
 GEMMs W.x_t and R.h_{t-1} feeding fused sigmoid/tanh gate elementwise code,
 sequential T loop with a barrier per step; gate order i, c(=g), f, o.
 
-TPU-native: lax.scan over T.  LSTM fuses the two per-step GEMMs into ONE
-MXU matmul by concatenating [x_t, h_{t-1}] against [W; R]; GRU/RNN hoist
-the whole input projection x@W out of the scan as one flat [T*N, C] GEMM
-(the reference's "diffused" W.x overlap) so only h@R stays sequential.
+TPU-native: all cells hoist the input projection x@W out of the T loop
+as one flat [T*N, C] MXU GEMM (the reference's "diffused" W.x overlap);
+the sequential h@R part runs as ONE scan-fused Pallas kernel with R
+VMEM-resident across steps and the state in VMEM scratch (rnn_seq.py,
+140.6 -> 171.6 TF for the LSTM forward — perf_notes "RNN forward
+study").  Shapes outside the kernel's tiling envelope fall back to a
+lax.scan (LSTM: fused [x_t, h] @ [W; R] per step).
 Gate math is a fused VPU epilogue.  Backward is hand-scheduled via
 custom_vjp for ALL cell types (the bwdupd-template structure): the reverse
 scan does only gate-gradient elementwise + dh_prev = dz@R^T, and dx/dw/dr
@@ -28,6 +31,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .rnn_seq import gru_seq, lstm_seq, rnn_seq, seq_pallas_ok
 from .types import CellType, Kind, RnnDesc
 
 
@@ -63,7 +67,31 @@ class RnnCell:
         #   after the scan:  dx  = dz_flat @ W^T         (one MXU GEMM)
         #                    dwr = [x,h_prev]^T @ dz_flat (one MXU GEMM,
         #                          contraction over T*N — MXU-sized)
-        def _lstm_core_fwd(xt_f, wr, b, h0, c0):
+        # Recurrent-weight storage dtype for the scan-fused Pallas path:
+        # native bf16 MXU pass in bf16 mode (the XLA scan's default
+        # precision truncates to bf16 anyway), f32 + HIGHEST otherwise.
+        r_dt = (jnp.bfloat16 if jnp.dtype(d.in_dtype) == jnp.bfloat16
+                else jnp.float32)
+
+        def _lstm_core_fwd(xt_f, wr, b, h0, c0, train=True):
+            t_, n_, c_in = xt_f.shape
+            if seq_pallas_ok(n_, k, 4, jnp.dtype(r_dt).itemsize):
+                # Scan-fused Pallas forward (rnn_seq.py): hoist x@W as one
+                # flat MXU GEMM; the sequential h@R loop runs as ONE kernel
+                # with R VMEM-resident across steps.  140.6 -> 171.6 TF
+                # (perf_notes.md "RNN forward study").
+                zx = (jnp.matmul(xt_f.reshape(t_ * n_, c_in), wr[:c_in],
+                                 precision=prec,
+                                 preferred_element_type=jnp.float32) + b
+                      ).reshape(t_, n_, 4 * k)
+                r_seq = wr[c_in:].astype(r_dt)
+                out = lstm_seq(zx, r_seq, h0, c0, k=k, prec=prec,
+                               train=train)
+                if train:
+                    hs, h_t, c_t, cs, is_, gs, fs, os_ = out
+                    return (hs, h_t, c_t), (cs, is_, gs, fs, os_)
+                return out, None
+
             def body(carry, x_t):
                 h, c = carry
                 z = jnp.matmul(jnp.concatenate([x_t, h], axis=1), wr,
@@ -82,10 +110,10 @@ class RnnCell:
 
         @jax.custom_vjp
         def lstm_core(xt_f, wr, b, h0, c0):
-            return _lstm_core_fwd(xt_f, wr, b, h0, c0)[0]
+            return _lstm_core_fwd(xt_f, wr, b, h0, c0, train=False)[0]
 
         def lstm_core_f(xt_f, wr, b, h0, c0):
-            out, res = _lstm_core_fwd(xt_f, wr, b, h0, c0)
+            out, res = _lstm_core_fwd(xt_f, wr, b, h0, c0, train=True)
             hs = out[0]
             return out, (xt_f, wr, h0, c0, hs, res)
 
@@ -141,10 +169,17 @@ class RnnCell:
             return jnp.matmul(a, bm, precision=prec,
                               preferred_element_type=jnp.float32)
 
-        def _gru_core_fwd(xt_f, w_, r_, b_, h0):
+        def _gru_core_fwd(xt_f, w_, r_, b_, h0, train=True):
             t_, n_, c_in = xt_f.shape
             zx = (_mm(xt_f.reshape(t_ * n_, c_in), w_) + b_
                   ).reshape(t_, n_, 3 * k)
+            if seq_pallas_ok(n_, k, 3, jnp.dtype(r_dt).itemsize):
+                out = gru_seq(zx, r_.astype(r_dt), h0, k=k, prec=prec,
+                              train=train)
+                if train:
+                    hs, h_t, ris, zis, gis, zrgs = out
+                    return (hs, h_t), (ris, zis, gis, zrgs)
+                return out, None
 
             def body(h, zx_t):
                 zr = _mm(h, r_)
@@ -160,10 +195,10 @@ class RnnCell:
 
         @jax.custom_vjp
         def gru_core(xt_f, w_, r_, b_, h0):
-            return _gru_core_fwd(xt_f, w_, r_, b_, h0)[0]
+            return _gru_core_fwd(xt_f, w_, r_, b_, h0, train=False)[0]
 
         def gru_core_f(xt_f, w_, r_, b_, h0):
-            out, res = _gru_core_fwd(xt_f, w_, r_, b_, h0)
+            out, res = _gru_core_fwd(xt_f, w_, r_, b_, h0, train=True)
             return out, (xt_f, w_, r_, h0, out[0], res)
 
         def gru_core_b(saved, cot):
@@ -206,6 +241,9 @@ class RnnCell:
             t_, n_, c_in = xt_f.shape
             zx = (_mm(xt_f.reshape(t_ * n_, c_in), w_) + b_
                   ).reshape(t_, n_, k)
+            if seq_pallas_ok(n_, k, 1, jnp.dtype(r_dt).itemsize):
+                return rnn_seq(zx, r_.astype(r_dt), h0, k=k, prec=prec,
+                               act=act)
 
             def body(h, zx_t):
                 h2 = act(zx_t + _mm(h, r_))
