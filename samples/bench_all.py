@@ -24,6 +24,7 @@ pyfr_driver_asp_reg.c).
 import json
 import os
 import sys
+import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
@@ -489,17 +490,26 @@ def main():
         print("bench_all: device unavailable after wait window; "
               "attempting anyway", file=sys.stderr)
     xt.enable_compile_cache()
-    out = {
-        "device": xt.platform.target_name(),
-        "config1_f64_smm": headline_bench.run(),
-        "config2_pyfr_csr": config2_pyfr_csr(),
-        "config3_fsspmdm": config3_fsspmdm(),
-        "config4_spmdm": config4_spmdm(),
-        "config5_packed_blocked": config5_packed_blocked(),
-        "dnn_kernels": dnn_kernels(),
-        "zoo": zoo_imgs(),
-        "dispatch": dispatch_latency(),
-    }
+    sections = [
+        ("config1_f64_smm", headline_bench.run),
+        ("config2_pyfr_csr", config2_pyfr_csr),
+        ("config3_fsspmdm", config3_fsspmdm),
+        ("config4_spmdm", config4_spmdm),
+        ("config5_packed_blocked", config5_packed_blocked),
+        ("dnn_kernels", dnn_kernels),
+        ("zoo", zoo_imgs),
+        ("dispatch", dispatch_latency),
+    ]
+    out = {"device": xt.platform.target_name()}
+    for name, fn in sections:
+        # per-section progress on stderr (a stalled tunnel otherwise
+        # leaves a silent hour-long log — nothing prints until the end)
+        t0 = time.perf_counter()
+        print(f"bench_all: {name} ...", file=sys.stderr, flush=True)
+        out[name] = fn()
+        print(f"bench_all: {name} done in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr,
+              flush=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -2,7 +2,7 @@
 """End-to-end training CLI — the GxM sample analog.
 
   python samples/gxm_train.py [model] [epochs] [batch] [--ckpt DIR] \
-      [--data FILE.xsd | --data IMAGE_DIR/]
+      [--data FILE.xsd | --data IMAGE_DIR/] [--warmup EPOCHS]
 
 model in {resnet18, resnet34, resnet50, alexnet, inception, googlenet,
 lenet, cifar10}. Trains from a packed XSD1 dataset via the native
@@ -25,7 +25,7 @@ from xsmm_tpu.models.engine import device_synthetic_batches
 
 def main():
     flagvals = set()
-    for flag in ("--ckpt", "--data", "--dtype"):
+    for flag in ("--ckpt", "--data", "--dtype", "--warmup"):
         if flag in sys.argv:
             flagvals.add(sys.argv[sys.argv.index(flag) + 1])
     args = [a for a in sys.argv[1:]
@@ -78,7 +78,12 @@ def main():
     # BN-less toy nets diverge at the resnet lr (see lenet_solver.prototxt
     # base_lr 0.01)
     lr = 0.01 if model in ("lenet", "cifar10") else 0.1
-    solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs)
+    # --warmup N: linear lr ramp over the first N epochs (the
+    # resnet_solver.prototxt warmup_epochs/warmup_lr surface)
+    warmup = int(sys.argv[sys.argv.index("--warmup") + 1]) \
+        if "--warmup" in sys.argv else 0
+    solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs,
+                          warmup_epochs=warmup, warmup_lr=lr * 0.1)
     eng = MLEngine(params, fwd, solver, checkpoint_dir=ckpt)
     if ckpt and eng.resume():
         print(f"resumed at epoch {eng.epoch}")

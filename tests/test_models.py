@@ -111,6 +111,13 @@ def test_lr_schedules():
     inv = SolverConfig(lr=1.0, lr_policy="inv", gamma=0.5, power=2.0)
     assert _schedule(inv, 0) == pytest.approx(1.0)
     assert _schedule(inv, 2) == pytest.approx(0.25)
+    # linear warmup ramps warmup_lr -> lr, then hands off to the policy
+    warm = SolverConfig(lr=1.0, lr_policy="step", gamma=0.1,
+                        step_epochs=(6,), warmup_epochs=4, warmup_lr=0.1)
+    assert _schedule(warm, 0) == pytest.approx(0.1)
+    assert _schedule(warm, 2) == pytest.approx(0.55)
+    assert _schedule(warm, 4) == pytest.approx(1.0)   # policy takes over
+    assert _schedule(warm, 6) == pytest.approx(0.1)   # step drop applies
 
 
 def test_train_loss_decreases():

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import platform
 from ..ops.pallas_util import pallas_call
 
-__all__ = ["seq_pallas_ok", "lstm_seq", "gru_seq", "rnn_seq"]
+__all__ = ["seq_pallas_ok", "lstm_seq", "gru_seq", "rnn_seq",
+           "lstm_seq_bwd", "gru_seq_bwd", "rnn_seq_bwd"]
 
 
 def seq_pallas_ok(n: int, k: int, gates: int, r_itemsize: int) -> bool:
@@ -140,6 +141,92 @@ def lstm_seq(zx, r, h0, c0, *, k, prec, train):
     )(zx, r, h0, c0)
 
 
+def _lstm_bwd_kernel(dhs_ref, is_ref, gs_ref, fs_ref, os_ref, cs_ref,
+                     cp_ref, c0_ref, dht_ref, dct_ref, rt_ref,
+                     dz_ref, dh0_ref, dc0_ref, db_ref, dh_scr, dc_scr,
+                     *, k, nt, prec):
+    ti = pl.program_id(0)
+
+    @pl.when(ti == 0)
+    def _():
+        dh_scr[:] = dht_ref[:]
+        dc_scr[:] = dct_ref[:]
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    i = is_ref[0]
+    g = gs_ref[0]
+    f = fs_ref[0]
+    o = os_ref[0]
+    tc = jnp.tanh(cs_ref[0])
+    # c_{t-1}: the shifted cs block view, except at t==0 (the LAST grid
+    # step) where it is the initial cell state.
+    cp = jnp.where(ti == nt - 1, c0_ref[:], cp_ref[0])
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
+    do = dh * tc
+    dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
+    dzi = dc * g * i * (1.0 - i)
+    dzg = dc * i * (1.0 - g * g)
+    dzf = dc * cp * f * (1.0 - f)
+    dzo = do * o * (1.0 - o)
+    dz = jnp.concatenate([dzi, dzg, dzf, dzo], axis=1)
+    dz_ref[0] = dz.astype(dz_ref.dtype)
+    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+    dh_prev = _dot(dz, rt_ref, prec)
+    dc_prev = dc * f
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+
+    @pl.when(ti == nt - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+        dc0_ref[:] = dc_prev
+
+
+def lstm_seq_bwd(dhs, is_, gs, fs, os_, cs, c0, dh_t, dc_t, rt, *, k, prec,
+                 dz_dt=jnp.float32):
+    """Reverse-scan LSTM gate-gradient kernel.
+
+    Walks t = T-1..0 with the carried (dh, dc) in VMEM scratch and
+    R^T [4K,K] VMEM-resident; streams the stored gate activations in and
+    the pre-activation gradients dz [T,N,4K] out.  tanh(c_t) is computed
+    in-kernel and c_{t-1} is a shifted BLOCK VIEW of cs — the lax.scan
+    backward needed full-array HBM passes for both.  db accumulates
+    in-kernel (f32), so dz can be emitted in the MXU input dtype
+    (bf16 mode: halves the dominant stream AND the three downstream
+    flat-GEMM reads with no result change — the GEMMs' default-precision
+    MXU pass truncates f32 operands to bf16 anyway).
+    Returns (dzs [T,N,4K] dz_dt, dh0, dc0, db [1,4K] f32).
+    """
+    t, n, _ = dhs.shape
+    kern = functools.partial(_lstm_bwd_kernel, k=k, nt=t, prec=prec)
+    const2 = lambda ti: (0, 0)  # noqa: E731
+    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
+    prev = lambda ti: (jnp.maximum(t - 2 - ti, 0), 0, 0)  # noqa: E731
+    step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    one = jax.ShapeDtypeStruct((n, k), jnp.float32)
+    return pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[step] * 5
+        + [step,
+           pl.BlockSpec((1, n, k), prev, memory_space=pltpu.VMEM),
+           onek, onek, onek,
+           pl.BlockSpec((4 * k, k), const2, memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, n, 4 * k), rev, memory_space=pltpu.VMEM),
+                   onek, onek,
+                   pl.BlockSpec((1, 4 * k), const2,
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t, n, 4 * k), dz_dt),
+                   one, one,
+                   jax.ShapeDtypeStruct((1, 4 * k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, k), jnp.float32),
+                        pltpu.VMEM((n, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(dhs, is_, gs, fs, os_, cs, cs, c0, dh_t, dc_t, rt)
+
+
 # ---------------------------------------------------------------- GRU ----
 def _gru_kernel(zx_ref, r_ref, h0_ref, *refs, k, nt, prec, train):
     if train:
@@ -204,6 +291,123 @@ def gru_seq(zx, r, h0, *, k, prec, train):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(zx, r, h0)
+
+
+def _gru_bwd_kernel(dhs_ref, ris_ref, zis_ref, gis_ref, zrg_ref,
+                    hs_ref, h0_ref, dht_ref, rt_ref,
+                    dzx_ref, dgiri_ref, dh0_ref, db_ref, dh_scr,
+                    *, k, nt, prec):
+    ti = pl.program_id(0)
+
+    @pl.when(ti == 0)
+    def _():
+        dh_scr[:] = dht_ref[:]
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    ri = ris_ref[0]
+    zi = zis_ref[0]
+    gi = gis_ref[0]
+    zr_g = zrg_ref[0]
+    hp = jnp.where(ti == nt - 1, h0_ref[:], hs_ref[0])
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
+    dzi_pre = dh * (hp - gi) * zi * (1.0 - zi)
+    dgi_pre = dh * (1.0 - zi) * (1.0 - gi * gi)
+    dri_pre = dgi_pre * zr_g * ri * (1.0 - ri)
+    dgiri = dgi_pre * ri
+    dzx = jnp.concatenate([dri_pre, dzi_pre, dgi_pre], axis=1)
+    dzx_ref[0] = dzx.astype(dzx_ref.dtype)
+    dgiri_ref[0] = dgiri.astype(dgiri_ref.dtype)
+    db_ref[:] += jnp.sum(dzx, axis=0, keepdims=True)
+    dzr = jnp.concatenate([dri_pre, dzi_pre, dgiri], axis=1)
+    dh_prev = dh * zi + _dot(dzr, rt_ref, prec)
+    dh_scr[:] = dh_prev
+
+    @pl.when(ti == nt - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+
+
+def gru_seq_bwd(dhs, ris, zis, gis, zrgs, hs, h0, dh_t, rt, *, k, prec,
+                dz_dt=jnp.float32):
+    """Reverse-scan GRU gate-gradient kernel.
+
+    Same discipline as lstm_seq_bwd: dh carried in scratch, R^T [3K,K]
+    VMEM-resident, h_{t-1} a shifted block view of hs, db accumulated
+    in-kernel so the dzx/dgiri streams emit in the MXU input dtype.
+    Emits dzx [T,N,3K] plus only dzr's g-column (its r,z parts equal
+    dzx's — the reassembly happens in the flat post-scan GEMM feed).
+    Returns (dzxs, dgiris, dh0, db [1,3K] f32).
+    """
+    t, n, _ = dhs.shape
+    kern = functools.partial(_gru_bwd_kernel, k=k, nt=t, prec=prec)
+    const2 = lambda ti: (0, 0)  # noqa: E731
+    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
+    prev = lambda ti: (jnp.maximum(t - 2 - ti, 0), 0, 0)  # noqa: E731
+    step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    one = jax.ShapeDtypeStruct((n, k), jnp.float32)
+    return pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[step] * 5
+        + [pl.BlockSpec((1, n, k), prev, memory_space=pltpu.VMEM),
+           onek, onek,
+           pl.BlockSpec((3 * k, k), const2, memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, n, 3 * k), rev, memory_space=pltpu.VMEM),
+                   step, onek,
+                   pl.BlockSpec((1, 3 * k), const2,
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t, n, 3 * k), dz_dt),
+                   jax.ShapeDtypeStruct((t, n, k), dz_dt), one,
+                   jax.ShapeDtypeStruct((1, 3 * k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(dhs, ris, zis, gis, zrgs, hs, h0, dh_t, rt)
+
+
+def _rnn_bwd_kernel(dhs_ref, hs_ref, dht_ref, rt_ref, dz_ref, dh0_ref,
+                    db_ref, dh_scr, *, nt, prec, dact):
+    ti = pl.program_id(0)
+
+    @pl.when(ti == 0)
+    def _():
+        dh_scr[:] = dht_ref[:]
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dz = (dhs_ref[0].astype(jnp.float32) + dh_scr[:]) * dact(hs_ref[0])
+    dz_ref[0] = dz.astype(dz_ref.dtype)
+    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+    dh_prev = _dot(dz, rt_ref, prec)
+    dh_scr[:] = dh_prev
+
+    @pl.when(ti == nt - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+
+
+def rnn_seq_bwd(dhs, hs, dh_t, rt, *, k, prec, dact, dz_dt=jnp.float32):
+    """Reverse-scan simple-RNN gradient kernel; returns (dzs, dh0, db)."""
+    t, n, _ = dhs.shape
+    kern = functools.partial(_rnn_bwd_kernel, nt=t, prec=prec, dact=dact)
+    const2 = lambda ti: (0, 0)  # noqa: E731
+    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
+    step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    return pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[step, step, onek,
+                  pl.BlockSpec((k, k), const2, memory_space=pltpu.VMEM)],
+        out_specs=[step, onek,
+                   pl.BlockSpec((1, k), const2, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t, n, k), dz_dt),
+                   jax.ShapeDtypeStruct((n, k), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(dhs, hs, dh_t, rt)
 
 
 # ---------------------------------------------------------- simple RNN ----

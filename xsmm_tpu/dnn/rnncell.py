@@ -31,7 +31,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .rnn_seq import gru_seq, lstm_seq, rnn_seq, seq_pallas_ok
+from .rnn_seq import (gru_seq, gru_seq_bwd, lstm_seq, lstm_seq_bwd,
+                      rnn_seq, rnn_seq_bwd, seq_pallas_ok)
 from .types import CellType, Kind, RnnDesc
 
 
@@ -121,40 +122,61 @@ class RnnCell:
             xt_f, wr, h0, c0, hs, (cs, is_, gs, fs, os_) = saved
             dhs, dh_t, dc_t = cot
             t_, n_, c_in = xt_f.shape
-            c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
-            tanh_cs = jnp.tanh(cs)
-            r_t = wr[c_in:].T  # [4K, K]
+            if seq_pallas_ok(n_, k, 4, jnp.dtype(r_dt).itemsize):
+                # Scan-fused Pallas reverse pass (rnn_seq.lstm_seq_bwd):
+                # R^T VMEM-resident, (dh, dc) carried in scratch, tanh(cs)
+                # in-kernel, c_prev a shifted block view — the lax.scan
+                # path below ran at ~67 TF effective from per-step
+                # overhead + the concat/tanh full-array HBM passes.
+                dzs, dh0, dc0, db_k = lstm_seq_bwd(
+                    dhs, is_, gs, fs, os_, cs, c0,
+                    dh_t.astype(jnp.float32), dc_t.astype(jnp.float32),
+                    wr[c_in:].T.astype(r_dt), k=k, prec=prec, dz_dt=r_dt)
+                db = db_k.reshape(4 * k)
+            else:
+                c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+                tanh_cs = jnp.tanh(cs)
+                r_t = wr[c_in:].T  # [4K, K]
 
-            def body(carry, inp):
-                dh_next, dc_next = carry
-                dh_out, i, g, f, o, cp, tc = inp
-                dh = dh_out.astype(jnp.float32) + dh_next
-                do = dh * tc
-                dc = dc_next + dh * o * (1.0 - tc * tc)
-                dzi = dc * g * i * (1.0 - i)
-                dzg = dc * i * (1.0 - g * g)
-                dzf = dc * cp * f * (1.0 - f)
-                dzo = do * o * (1.0 - o)
-                dz = jnp.concatenate([dzi, dzg, dzf, dzo], axis=1)
-                dh_prev = jnp.matmul(dz, r_t, precision=prec,
-                                     preferred_element_type=jnp.float32)
-                return (dh_prev, dc * f), dz
+                def body(carry, inp):
+                    dh_next, dc_next = carry
+                    dh_out, i, g, f, o, cp, tc = inp
+                    dh = dh_out.astype(jnp.float32) + dh_next
+                    do = dh * tc
+                    dc = dc_next + dh * o * (1.0 - tc * tc)
+                    dzi = dc * g * i * (1.0 - i)
+                    dzg = dc * i * (1.0 - g * g)
+                    dzf = dc * cp * f * (1.0 - f)
+                    dzo = do * o * (1.0 - o)
+                    dz = jnp.concatenate([dzi, dzg, dzf, dzo], axis=1)
+                    dh_prev = jnp.matmul(dz, r_t, precision=prec,
+                                         preferred_element_type=jnp.float32)
+                    return (dh_prev, dc * f), dz
 
-            (dh0, dc0), dzs = jax.lax.scan(
-                body, (dh_t.astype(jnp.float32),
-                       dc_t.astype(jnp.float32)),
-                (dhs, is_, gs, fs, os_, c_prev, tanh_cs), reverse=True)
+                (dh0, dc0), dzs = jax.lax.scan(
+                    body, (dh_t.astype(jnp.float32),
+                           dc_t.astype(jnp.float32)),
+                    (dhs, is_, gs, fs, os_, c_prev, tanh_cs), reverse=True)
+                db = jnp.sum(dzs.reshape(t_ * n_, 4 * k), axis=0)
             dz_flat = dzs.reshape(t_ * n_, 4 * k)
             dx = jnp.matmul(dz_flat, wr[:c_in].T, precision=prec,
                             preferred_element_type=jnp.float32
                             ).reshape(t_, n_, c_in)
-            inp_flat = jnp.concatenate(
-                [xt_f.reshape(t_ * n_, c_in),
-                 h_prev.reshape(t_ * n_, k)], axis=1)
-            dwr = jnp.matmul(inp_flat.T, dz_flat, precision=prec,
+            # dw and dr as separate flat GEMMs against x and hs views:
+            # building concat([x, h_prev]) materialized T*N*(C+K) f32
+            # twice (the shifted h_prev copy + the lane concat) — ~32MB
+            # of pure HBM copy at the driver shape.  hs[:-1]/dz[n:] are
+            # contiguous views; the t=0 term is a tiny [K,N]@[N,4K] GEMM.
+            dw = jnp.matmul(xt_f.reshape(t_ * n_, c_in).T, dz_flat,
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+            dr = (jnp.matmul(h0.T, dz_flat[:n_], precision=prec,
                              preferred_element_type=jnp.float32)
-            db = jnp.sum(dz_flat, axis=0)
+                  + jnp.matmul(
+                      hs[:-1].reshape((t_ - 1) * n_, k).T,
+                      dz_flat[n_:], precision=prec,
+                      preferred_element_type=jnp.float32))
+            dwr = jnp.concatenate([dw, dr], axis=0)
             return dx, dwr, db, dh0, dc0
 
         lstm_core.defvjp(lstm_core_f, lstm_core_b)
@@ -205,34 +227,49 @@ class RnnCell:
             xt_f, w_, r_, h0, hs, (ris, zis, gis, zrgs) = saved
             dhs, dh_t = cot
             t_, n_, c_in = xt_f.shape
-            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
-            r_t = r_.T
+            if seq_pallas_ok(n_, k, 3, jnp.dtype(r_dt).itemsize):
+                # Scan-fused Pallas reverse pass (rnn_seq.gru_seq_bwd).
+                dzxs, dgiris, dh0, db_k = gru_seq_bwd(
+                    dhs, ris, zis, gis, zrgs, hs, h0,
+                    dh_t.astype(jnp.float32), r_.T.astype(r_dt),
+                    k=k, prec=prec, dz_dt=r_dt)
+                db = db_k.reshape(3 * k)
+            else:
+                h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+                r_t = r_.T
 
-            def body(dh_next, inp):
-                dh_out, ri, zi, gi, zr_g, hp = inp
-                dh = dh_out.astype(jnp.float32) + dh_next
-                dzi_pre = dh * (hp - gi) * zi * (1.0 - zi)
-                dgi_pre = dh * (1.0 - zi) * (1.0 - gi * gi)
-                dri_pre = dgi_pre * zr_g * ri * (1.0 - ri)
-                dzx = jnp.concatenate([dri_pre, dzi_pre, dgi_pre], axis=1)
-                dgiri = dgi_pre * ri
-                dzr = jnp.concatenate([dri_pre, dzi_pre, dgiri], axis=1)
-                dh_prev = dh * zi + _mm(dzr, r_t)
-                # emit dzx + only dzr's g-column: its r,z parts equal
-                # dzx's, so the full dzr is reassembled post-scan — 33%
-                # less residual emit traffic than stacking both streams
-                return dh_prev, (dzx, dgiri)
+                def body(dh_next, inp):
+                    dh_out, ri, zi, gi, zr_g, hp = inp
+                    dh = dh_out.astype(jnp.float32) + dh_next
+                    dzi_pre = dh * (hp - gi) * zi * (1.0 - zi)
+                    dgi_pre = dh * (1.0 - zi) * (1.0 - gi * gi)
+                    dri_pre = dgi_pre * zr_g * ri * (1.0 - ri)
+                    dzx = jnp.concatenate(
+                        [dri_pre, dzi_pre, dgi_pre], axis=1)
+                    dgiri = dgi_pre * ri
+                    dzr = jnp.concatenate(
+                        [dri_pre, dzi_pre, dgiri], axis=1)
+                    dh_prev = dh * zi + _mm(dzr, r_t)
+                    # emit dzx + only dzr's g-column: its r,z parts equal
+                    # dzx's, so the full dzr is reassembled post-scan —
+                    # 33% less residual emit traffic than stacking both
+                    return dh_prev, (dzx, dgiri)
 
-            dh0, (dzxs, dgiris) = jax.lax.scan(
-                body, dh_t.astype(jnp.float32),
-                (dhs, ris, zis, gis, zrgs, h_prev), reverse=True)
+                dh0, (dzxs, dgiris) = jax.lax.scan(
+                    body, dh_t.astype(jnp.float32),
+                    (dhs, ris, zis, gis, zrgs, h_prev), reverse=True)
+                db = jnp.sum(dzxs.reshape(t_ * n_, 3 * k), axis=0)
             dzx_flat = dzxs.reshape(t_ * n_, 3 * k)
             dzr_flat = jnp.concatenate(
                 [dzx_flat[:, :2 * k], dgiris.reshape(t_ * n_, k)], axis=1)
             dx = _mm(dzx_flat, w_.T).reshape(t_, n_, c_in)
             dw = _mm(xt_f.reshape(t_ * n_, c_in).T, dzx_flat)
-            dr = _mm(h_prev.reshape(t_ * n_, k).T, dzr_flat)
-            db = jnp.sum(dzx_flat, axis=0)
+            # h_prev^T @ dzr without materializing the shifted h_prev
+            # copy: hs[:-1]/dzr[n:] are contiguous views, plus a tiny
+            # [K,N]@[N,3K] GEMM for the t=0 term.
+            dr = (_mm(h0.T, dzr_flat[:n_])
+                  + _mm(hs[:-1].reshape((t_ - 1) * n_, k).T,
+                        dzr_flat[n_:]))
             return dx, dw, dr, db, dh0
 
         gru_core.defvjp(gru_core_f, gru_core_b)
@@ -264,7 +301,6 @@ class RnnCell:
             xt_f, w_, r_, h0, hs = saved
             dhs, dh_t = cot
             t_, n_, c_in = xt_f.shape
-            h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
             r_t = r_.T
             ct = d.cell_type
 
@@ -278,18 +314,29 @@ class RnnCell:
                     return h2 * (1.0 - h2)
                 return 1.0 - h2 * h2
 
-            def body(dh_next, inp):
-                dh_out, h2 = inp
-                dz = (dh_out.astype(jnp.float32) + dh_next) * dact(h2)
-                return _mm(dz, r_t), dz
+            if seq_pallas_ok(n_, k, 1, jnp.dtype(r_dt).itemsize):
+                # Scan-fused Pallas reverse pass (rnn_seq.rnn_seq_bwd).
+                dzs, dh0, db_k = rnn_seq_bwd(
+                    dhs, hs, dh_t.astype(jnp.float32),
+                    r_t.astype(r_dt), k=k, prec=prec, dact=dact,
+                    dz_dt=r_dt)
+                db = db_k.reshape(k)
+            else:
+                def body(dh_next, inp):
+                    dh_out, h2 = inp
+                    dz = (dh_out.astype(jnp.float32) + dh_next) * dact(h2)
+                    return _mm(dz, r_t), dz
 
-            dh0, dzs = jax.lax.scan(body, dh_t.astype(jnp.float32),
-                                    (dhs, hs), reverse=True)
+                dh0, dzs = jax.lax.scan(body, dh_t.astype(jnp.float32),
+                                        (dhs, hs), reverse=True)
+                db = jnp.sum(dzs.reshape(t_ * n_, k), axis=0)
             dz_flat = dzs.reshape(t_ * n_, k)
             dx = _mm(dz_flat, w_.T).reshape(t_, n_, c_in)
             dw = _mm(xt_f.reshape(t_ * n_, c_in).T, dz_flat)
-            dr = _mm(h_prev.reshape(t_ * n_, k).T, dz_flat)
-            db = jnp.sum(dz_flat, axis=0)
+            # h_prev^T @ dz without the shifted h_prev copy (see LSTM)
+            dr = (_mm(h0.T, dz_flat[:n_])
+                  + _mm(hs[:-1].reshape((t_ - 1) * n_, k).T,
+                        dz_flat[n_:]))
             return dx, dw, dr, db, dh0
 
         rnn_core.defvjp(rnn_core_f, rnn_core_b)

@@ -44,9 +44,16 @@ class SolverConfig:
     step_epochs: Tuple[int, ...] = (30, 60, 80)
     power: float = 1.0              # poly / inv exponent
     max_epochs: int = 90
+    # Linear warmup (Solver.hpp:157,171 warmup_lr/warmup_epochs): ramp
+    # from warmup_lr to lr over warmup_epochs, then the main policy.
+    warmup_epochs: int = 0
+    warmup_lr: float = 0.0
 
 
 def _schedule(cfg: SolverConfig, epoch: float) -> float:
+    if cfg.warmup_epochs > 0 and epoch < cfg.warmup_epochs:
+        frac = epoch / cfg.warmup_epochs
+        return cfg.warmup_lr + (cfg.lr - cfg.warmup_lr) * frac
     if cfg.lr_policy == "step":
         drops = sum(1 for e in cfg.step_epochs if epoch >= e)
         return cfg.lr * (cfg.gamma ** drops)
