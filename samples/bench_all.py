@@ -400,6 +400,19 @@ def dnn_kernels():
     dt = device_bench(pool._fwd, xp, **_bench_kw())
     out["pooling_max_fwd_read_gbps"] = round(
         np_ * hp_ * hp_ * cp_ * 4 / dt / 1e9, 1)
+    # max bwd, forced-materialization regime (dx fed back as x so its
+    # write cannot overlap away; perf_notes "Max-pool backward study")
+    dyp = jax.random.normal(key, (np_, hp_ // 2, hp_ // 2, cp_),
+                            jnp.float32)
+
+    def _pb_fb(o, a):
+        dy0 = a[0].at[(0,) * a[0].ndim].set(
+            o[(0,) * o.ndim].astype(a[0].dtype))
+        return (dy0, o)
+    dt = device_bench(pool._bwd, dyp, xp, feedback=_pb_fb, **_bench_kw())
+    nin_, nout_ = np_ * hp_ * hp_ * cp_, np_ * (hp_ // 2) ** 2 * cp_
+    out["pooling_max_bwd_forced_gbps"] = round(
+        (2 * nin_ + nout_) * 4 / dt / 1e9, 1)
     bdesc = BnDesc(n=np_, c=cp_, h=hp_, w=hp_, fuse=BnFuse.RELU)
     bn = create_fusedbatchnorm(bdesc)
     gam = jnp.ones((cp_,), jnp.float32)

@@ -69,8 +69,20 @@ def drive_pooling(dtype):
         # to rebuild the argmax mask
         nin, nout = n * h * w * c, n * d.out_h * d.out_w * c
         if op is PoolType.MAX:
+            # pipeline-fused regime (default probe; dx write may overlap
+            # the next chained iteration) AND forced-materialization
+            # regime (dx fed back as x) — perf_notes "Max-pool backward
+            # study": select-and-scatter beats every elementwise rebuild
             measure(layer._bwd, dy, x, nbytes=(nout + 2 * nin) * isz,
-                    label=f"pooling {op.value} bwd")
+                    label=f"pooling {op.value} bwd (pipeline-fused)")
+
+            def fb(o, a):
+                dy0 = a[0].at[(0,) * a[0].ndim].set(
+                    o[(0,) * o.ndim].astype(a[0].dtype))
+                return (dy0, o.astype(a[1].dtype))
+            measure(layer._bwd, dy, x, nbytes=(nout + 2 * nin) * isz,
+                    label=f"pooling {op.value} bwd (forced dx write)",
+                    feedback=fb)
         else:
             # avg bwd is a broadcast of dy/(r*s): XLA simplifies any
             # reduction of it away, so a standalone GB/s number would be
