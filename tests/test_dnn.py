@@ -618,3 +618,49 @@ def test_rnn_bwd_matches_autodiff_gold(rng, ct):
                            (dh0, gold[4], "dh0")):
         xt.check(np.asarray(ref, np.float64), np.asarray(got), TOL,
                  what=f"{ct} {name}")
+
+
+@pytest.mark.parametrize("ct", [CellType.LSTM, CellType.GRU,
+                                CellType.RNN_TANH])
+def test_rnn_saved_residual_path_matches_stateless(rng, ct):
+    """forward_train/backward_from_saved (the reference handle's
+    stored-activation contract) must equal the stateless
+    backward_weight_update, which recomputes the forward inside vjp."""
+    n, c_, k, t = 4, 6, 5, 3
+    g = {CellType.LSTM: 4, CellType.GRU: 3}.get(ct, 1)
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct)
+    cell = create_rnncell(d)
+    xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
+    w = (rng.standard_normal((c_, g * k)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((k, g * k)) * 0.3).astype(np.float32)
+    b = rng.standard_normal((g * k,)).astype(np.float32)
+    dhs = rng.standard_normal((t, n, k)).astype(np.float32)
+    (hs, h_t, c_t), saved = cell.forward_train(xt_, w, r, b)
+    hs2, h_t2, c_t2 = cell.forward(xt_, w, r, b)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_t2),
+                               rtol=1e-6, atol=1e-6)
+    g_saved = cell.backward_from_saved(saved, dhs)
+    g_free = cell.backward_weight_update(xt_, w, r, b, dhs)
+    assert len(g_saved) == len(g_free) == 6
+    for a, bb, nm in zip(g_saved, g_free,
+                         ("dxt", "dw", "dr", "db", "dh0", "dc0")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-5, err_msg=nm)
+
+
+def test_seq_vmem_budget_counts_all_streams():
+    """The Pallas-routing gate must model the FULL kernel residency
+    (advisor finding: the old R-panel + zx-panel check admitted shapes
+    that blow the 16MB scoped-VMEM budget and wedge the tunnel)."""
+    from xsmm_tpu.dnn.rnn_seq import seq_vmem_bytes
+    # known-good driver shape: N128 K512 LSTM bf16 -> well under 13MB
+    assert seq_vmem_bytes(128, 512, 4, 2) <= 13 * 2 ** 20
+    # f32 at the same shape also fits
+    assert seq_vmem_bytes(128, 512, 4, 4) <= 13 * 2 ** 20
+    # flagged: LSTM f32 n=512 k=512 needs ~30MB -> must be rejected
+    assert seq_vmem_bytes(512, 512, 4, 4) > 16 * 2 ** 20
+    # flagged: LSTM bf16 k=1024 n=128 (~20MB; the old gate's strict '>'
+    # admitted the exactly-8MB R panel) -> must be rejected
+    assert seq_vmem_bytes(128, 1024, 4, 2) > 16 * 2 ** 20

@@ -64,9 +64,12 @@ class XsmmLSTMFunction:
                 t, n, c = xt.shape
                 k = r.shape[0]
                 cell = _cell(t, n, c, k)
-                hs, h_t, c_t = cell.forward(_np(xt), _np(w), _np(r), _np(b),
-                                            _np(h0), _np(c0))
-                ctx.save_for_backward(xt, w, r, b, h0, c0)
+                # forward_train keeps the backward residuals (the
+                # reference handle's stored activations) so backward()
+                # does NOT re-run the T-step forward scan
+                (hs, h_t, c_t), saved = cell.forward_train(
+                    _np(xt), _np(w), _np(r), _np(b), _np(h0), _np(c0))
+                ctx.xsmm_saved = saved
                 ctx.cell = cell
                 out = torch.from_numpy(np.array(hs))
                 return (out,
@@ -75,7 +78,6 @@ class XsmmLSTMFunction:
 
             @staticmethod
             def backward(ctx, dhs, dh_t, dc_t):
-                xt, w, r, b, h0, c0 = ctx.saved_tensors
                 # dh_t feedback folds into dhs' last step (h_T IS hs[-1]).
                 # dc_t is unsupported (as in the TF op, which differentiates
                 # through hs only) — raise rather than silently dropping a
@@ -87,9 +89,8 @@ class XsmmLSTMFunction:
                         "(reference TF op differentiates through hs)")
                 dhs = dhs.clone()
                 dhs[-1] += dh_t
-                grads = ctx.cell.backward_weight_update(
-                    _np(xt), _np(w), _np(r), _np(b), _np(dhs),
-                    _np(h0), _np(c0))
+                grads = ctx.cell.backward_from_saved(ctx.xsmm_saved,
+                                                     _np(dhs))
                 dxt, dw, dr, db, dh0, dc0 = grads
                 to_t = lambda a: torch.from_numpy(np.array(a))
                 return (to_t(dxt), to_t(dw), to_t(dr), to_t(db),

@@ -39,23 +39,65 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import platform
 from ..ops.pallas_util import pallas_call
 
-__all__ = ["seq_pallas_ok", "lstm_seq", "gru_seq", "rnn_seq",
+__all__ = ["seq_pallas_ok", "seq_vmem_bytes", "lstm_seq", "gru_seq", "rnn_seq",
            "lstm_seq_bwd", "gru_seq_bwd", "rnn_seq_bwd"]
 
 
+def seq_vmem_bytes(n: int, k: int, gates: int, r_itemsize: int) -> int:
+    """Worst-case VMEM residency of the scan-fused kernels (fwd-train/bwd).
+
+    Counts EVERY resident block, not just the weight panel: the step
+    input/output panels are double-buffered by Mosaic, the initial-state /
+    final-state blocks and scratch are single.  Per-cell panel counts
+    ([N,K] f32 units) over the heavier of the two directions:
+    LSTM bwd streams 7 step inputs (x2) + 5 consts + 2 scratch = 21;
+    GRU bwd 6 (x2) + 3 + 1 = 16; simple RNN <= 9.
+    """
+    s = n * k * 4                       # one [N,K] f32 panel
+    z = 2 * n * gates * k * 4           # step G-panel, double-buffered
+    r = k * gates * k * r_itemsize      # resident recurrent weight panel
+    panels = {4: 21, 3: 16, 1: 9}[gates]
+    return z + r + panels * s
+
+
 def seq_pallas_ok(n: int, k: int, gates: int, r_itemsize: int) -> bool:
-    """Static routing decision for the scan-fused forward."""
+    """Static routing decision for the scan-fused forward.
+
+    The budget must cover the FULL kernel residency — an undercount is a
+    Mosaic scoped-VMEM compile failure at dispatch, which on the tunneled
+    setup also wedges the device for minutes (CLAUDE.md).  13MB keeps
+    headroom under the 16MB default scoped budget (rule 1: never set
+    vmem_limit_bytes).
+    """
     if platform.interpret_mode():
         return True
     if not platform.is_tpu():
         return False
     if n % 8 or k % 128:
         return False
-    if k * gates * k * r_itemsize > 8 * 2 ** 20:   # R VMEM panel
-        return False
-    if n * gates * k * 4 > 4 * 2 ** 20:            # zx step panel (f32)
-        return False
-    return True
+    return seq_vmem_bytes(n, k, gates, r_itemsize) <= 13 * 2 ** 20
+
+
+def _const2(ti):
+    """Constant-index 2-D block (weights / initial state / final state)."""
+    return (0, 0)
+
+
+def _fwd_idx(ti):
+    """Step-t block of a [T,...] panel, forward grid order."""
+    return (ti, 0, 0)
+
+
+def _rev_idx(t):
+    """Step block walking t = T-1..0 (reverse-scan grid order)."""
+    return lambda ti: (t - 1 - ti, 0, 0)
+
+
+def _prev_idx(t):
+    """Shifted view: the t-1 block of the same panel under the reverse
+    grid (clamped at 0; kernels override the clamped step with the
+    initial state via `ti == nt-1`)."""
+    return lambda ti: (jnp.maximum(t - 2 - ti, 0), 0, 0)
 
 
 def _dot(h, r_ref, prec):
@@ -66,8 +108,7 @@ def _dot(h, r_ref, prec):
 
 
 # --------------------------------------------------------------- LSTM ----
-def _lstm_kernel(zx_ref, r_ref, h0_ref, c0_ref, *refs,
-                 k, nt, prec, train, h_scr=None, c_scr=None):
+def _lstm_kernel(zx_ref, r_ref, h0_ref, c0_ref, *refs, k, nt, prec, train):
     if train:
         (hs_ref, ht_ref, ct_ref, cs_ref, is_ref, gs_ref, fs_ref,
          os_ref, h_scr, c_scr) = refs
@@ -113,12 +154,11 @@ def lstm_seq(zx, r, h0, c0, *, k, prec, train):
     t, n, _ = zx.shape
     kern = functools.partial(_lstm_kernel, k=k, nt=t, prec=prec,
                              train=train)
-    const2 = lambda ti: (0, 0)  # noqa: E731
-    step3 = pl.BlockSpec((1, n, 4 * k), lambda ti: (ti, 0, 0),
+    step3 = pl.BlockSpec((1, n, 4 * k), _fwd_idx,
                          memory_space=pltpu.VMEM)
-    out_step = pl.BlockSpec((1, n, k), lambda ti: (ti, 0, 0),
+    out_step = pl.BlockSpec((1, n, k), _fwd_idx,
                             memory_space=pltpu.VMEM)
-    out_const = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    out_const = pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)
     seq = jax.ShapeDtypeStruct((t, n, k), jnp.float32)
     one = jax.ShapeDtypeStruct((n, k), jnp.float32)
     out_specs = [out_step, out_const, out_const]
@@ -130,7 +170,7 @@ def lstm_seq(zx, r, h0, c0, *, k, prec, train):
         kern,
         grid=(t,),
         in_specs=[step3,
-                  pl.BlockSpec((k, 4 * k), const2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, 4 * k), _const2, memory_space=pltpu.VMEM),
                   out_const, out_const],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -199,11 +239,10 @@ def lstm_seq_bwd(dhs, is_, gs, fs, os_, cs, c0, dh_t, dc_t, rt, *, k, prec,
     """
     t, n, _ = dhs.shape
     kern = functools.partial(_lstm_bwd_kernel, k=k, nt=t, prec=prec)
-    const2 = lambda ti: (0, 0)  # noqa: E731
-    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
-    prev = lambda ti: (jnp.maximum(t - 2 - ti, 0), 0, 0)  # noqa: E731
+    rev = _rev_idx(t)
+    prev = _prev_idx(t)
     step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
-    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct((n, k), jnp.float32)
     return pallas_call(
         kern,
@@ -212,10 +251,10 @@ def lstm_seq_bwd(dhs, is_, gs, fs, os_, cs, c0, dh_t, dc_t, rt, *, k, prec,
         + [step,
            pl.BlockSpec((1, n, k), prev, memory_space=pltpu.VMEM),
            onek, onek, onek,
-           pl.BlockSpec((4 * k, k), const2, memory_space=pltpu.VMEM)],
+           pl.BlockSpec((4 * k, k), _const2, memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, n, 4 * k), rev, memory_space=pltpu.VMEM),
                    onek, onek,
-                   pl.BlockSpec((1, 4 * k), const2,
+                   pl.BlockSpec((1, 4 * k), _const2,
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((t, n, 4 * k), dz_dt),
                    one, one,
@@ -266,12 +305,11 @@ def gru_seq(zx, r, h0, *, k, prec, train):
     t, n, _ = zx.shape
     kern = functools.partial(_gru_kernel, k=k, nt=t, prec=prec,
                              train=train)
-    const2 = lambda ti: (0, 0)  # noqa: E731
-    step3 = pl.BlockSpec((1, n, 3 * k), lambda ti: (ti, 0, 0),
+    step3 = pl.BlockSpec((1, n, 3 * k), _fwd_idx,
                          memory_space=pltpu.VMEM)
-    out_step = pl.BlockSpec((1, n, k), lambda ti: (ti, 0, 0),
+    out_step = pl.BlockSpec((1, n, k), _fwd_idx,
                             memory_space=pltpu.VMEM)
-    out_const = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    out_const = pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)
     seq = jax.ShapeDtypeStruct((t, n, k), jnp.float32)
     one = jax.ShapeDtypeStruct((n, k), jnp.float32)
     out_specs = [out_step, out_const]
@@ -283,7 +321,7 @@ def gru_seq(zx, r, h0, *, k, prec, train):
         kern,
         grid=(t,),
         in_specs=[step3,
-                  pl.BlockSpec((k, 3 * k), const2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, 3 * k), _const2, memory_space=pltpu.VMEM),
                   out_const],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -340,11 +378,10 @@ def gru_seq_bwd(dhs, ris, zis, gis, zrgs, hs, h0, dh_t, rt, *, k, prec,
     """
     t, n, _ = dhs.shape
     kern = functools.partial(_gru_bwd_kernel, k=k, nt=t, prec=prec)
-    const2 = lambda ti: (0, 0)  # noqa: E731
-    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
-    prev = lambda ti: (jnp.maximum(t - 2 - ti, 0), 0, 0)  # noqa: E731
+    rev = _rev_idx(t)
+    prev = _prev_idx(t)
     step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
-    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct((n, k), jnp.float32)
     return pallas_call(
         kern,
@@ -352,10 +389,10 @@ def gru_seq_bwd(dhs, ris, zis, gis, zrgs, hs, h0, dh_t, rt, *, k, prec,
         in_specs=[step] * 5
         + [pl.BlockSpec((1, n, k), prev, memory_space=pltpu.VMEM),
            onek, onek,
-           pl.BlockSpec((3 * k, k), const2, memory_space=pltpu.VMEM)],
+           pl.BlockSpec((3 * k, k), _const2, memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, n, 3 * k), rev, memory_space=pltpu.VMEM),
                    step, onek,
-                   pl.BlockSpec((1, 3 * k), const2,
+                   pl.BlockSpec((1, 3 * k), _const2,
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((t, n, 3 * k), dz_dt),
                    jax.ShapeDtypeStruct((t, n, k), dz_dt), one,
@@ -390,17 +427,16 @@ def rnn_seq_bwd(dhs, hs, dh_t, rt, *, k, prec, dact, dz_dt=jnp.float32):
     """Reverse-scan simple-RNN gradient kernel; returns (dzs, dh0, db)."""
     t, n, _ = dhs.shape
     kern = functools.partial(_rnn_bwd_kernel, nt=t, prec=prec, dact=dact)
-    const2 = lambda ti: (0, 0)  # noqa: E731
-    rev = lambda ti: (t - 1 - ti, 0, 0)  # noqa: E731
+    rev = _rev_idx(t)
     step = pl.BlockSpec((1, n, k), rev, memory_space=pltpu.VMEM)
-    onek = pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)
+    onek = pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)
     return pallas_call(
         kern,
         grid=(t,),
         in_specs=[step, step, onek,
-                  pl.BlockSpec((k, k), const2, memory_space=pltpu.VMEM)],
+                  pl.BlockSpec((k, k), _const2, memory_space=pltpu.VMEM)],
         out_specs=[step, onek,
-                   pl.BlockSpec((1, k), const2, memory_space=pltpu.VMEM)],
+                   pl.BlockSpec((1, k), _const2, memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((t, n, k), dz_dt),
                    jax.ShapeDtypeStruct((n, k), jnp.float32),
                    jax.ShapeDtypeStruct((1, k), jnp.float32)],
@@ -433,17 +469,16 @@ def rnn_seq(zx, r, h0, *, k, prec, act):
     """zx [T,N,K] f32; returns (hs, h_t) — hs doubles as the residual."""
     t, n, _ = zx.shape
     kern = functools.partial(_rnn_kernel, nt=t, prec=prec, act=act)
-    const2 = lambda ti: (0, 0)  # noqa: E731
     return pallas_call(
         kern,
         grid=(t,),
-        in_specs=[pl.BlockSpec((1, n, k), lambda ti: (ti, 0, 0),
+        in_specs=[pl.BlockSpec((1, n, k), _fwd_idx,
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, k), const2, memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, n, k), lambda ti: (ti, 0, 0),
+                  pl.BlockSpec((k, k), _const2, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, n, k), _fwd_idx,
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((n, k), const2, memory_space=pltpu.VMEM)],
+                   pl.BlockSpec((n, k), _const2, memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((t, n, k), jnp.float32),
                    jax.ShapeDtypeStruct((n, k), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((n, k), jnp.float32)],

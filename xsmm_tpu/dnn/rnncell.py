@@ -91,7 +91,7 @@ class RnnCell:
                 if train:
                     hs, h_t, c_t, cs, is_, gs, fs, os_ = out
                     return (hs, h_t, c_t), (cs, is_, gs, fs, os_)
-                return out, None
+                return tuple(out), None
 
             def body(carry, x_t):
                 h, c = carry
@@ -201,7 +201,7 @@ class RnnCell:
                 if train:
                     hs, h_t, ris, zis, gis, zrgs = out
                     return (hs, h_t), (ris, zis, gis, zrgs)
-                return out, None
+                return tuple(out), None
 
             def body(h, zx_t):
                 zr = _mm(h, r_)
@@ -279,8 +279,8 @@ class RnnCell:
             zx = (_mm(xt_f.reshape(t_ * n_, c_in), w_) + b_
                   ).reshape(t_, n_, k)
             if seq_pallas_ok(n_, k, 1, jnp.dtype(r_dt).itemsize):
-                return rnn_seq(zx, r_.astype(r_dt), h0, k=k, prec=prec,
-                               act=act)
+                return tuple(rnn_seq(zx, r_.astype(r_dt), h0, k=k,
+                                     prec=prec, act=act))
 
             def body(h, zx_t):
                 h2 = act(zx_t + _mm(h, r_))
@@ -372,9 +372,56 @@ class RnnCell:
 
         self._bwd = bwd
 
+        # -- saved-residual path (no forward recompute) ------------------
+        # The reference handle KEEPS the per-step activations between
+        # execute(FWD) and execute(BWD/UPD) calls (the 25+ scratch tensors
+        # on libxsmm_dnn_rnncell, libxsmm_main.h:600-693) — the backward
+        # never re-runs the forward.  backward_weight_update() above is
+        # the stateless analog and pays one forward recompute inside
+        # jax.vjp; these two entries expose the stored-activation
+        # contract: forward_train returns the custom-vjp residuals,
+        # backward_from_saved consumes them.
+        def fwd_train(xt, w, r, b, h0, c0):
+            h0 = h0.astype(jnp.float32)
+            c0 = c0.astype(jnp.float32)
+            out_dt = jnp.dtype(d.out_dtype)
+            xt_f = xt.astype(jnp.float32)
+            if d.cell_type == CellType.LSTM:
+                wr = jnp.concatenate([w, r], axis=0)
+                (hs, h_t, c_t), saved = lstm_core_f(xt_f, wr, b, h0, c0)
+            elif d.cell_type == CellType.GRU:
+                (hs, h_t), saved = gru_core_f(xt_f, w, r, b, h0)
+                c_t = c0
+            else:
+                (hs, h_t), saved = rnn_core_f(xt_f, w, r, b, h0)
+                c_t = c0
+            return (hs.astype(out_dt), h_t, c_t), saved
+
+        self._fwd_train = jax.jit(fwd_train)
+
+        def bwd_saved(saved, dhs):
+            dhs = dhs.astype(jnp.float32)
+            z = jnp.zeros((d.n, k), jnp.float32)
+            if d.cell_type == CellType.LSTM:
+                dx, dwr, db, dh0, dc0 = lstm_core_b(saved, (dhs, z, z))
+                return dx, dwr[:d.c], dwr[d.c:], db, dh0, dc0
+            if d.cell_type == CellType.GRU:
+                dx, dw, dr, db, dh0 = gru_core_b(saved, (dhs, z))
+            else:
+                dx, dw, dr, db, dh0 = rnn_core_b(saved, (dhs, z))
+            return dx, dw, dr, db, dh0, jnp.zeros_like(dh0)
+
+        self._bwd_saved = jax.jit(bwd_saved)
+
     # -- API (libxsmm_dnn_rnncell_execute_st analog) ---------------------------
     def forward(self, xt, w, r, b, h0=None, c0=None):
-        """xt: [T,N,C]; returns (hs [T,N,K], h_T, c_T)."""
+        """xt: [T,N,C]; returns (hs [T,N,K], h_T, c_T).
+
+        hs is cast to desc.out_dtype; the carried states h_T/c_T stay
+        f32 (the cell's internal state precision, like the reference's
+        f32 csp/hp state tensors even in the bf16 templates) so stacked
+        layers can chain them without reconversion loss.
+        """
         d = self.desc
         if h0 is None:
             h0 = jnp.zeros((d.n, d.k), jnp.float32)
@@ -383,13 +430,41 @@ class RnnCell:
         return self._fwd(xt, w, r, b, h0, c0)
 
     def backward_weight_update(self, xt, w, r, b, dhs, h0=None, c0=None):
-        """Combined BWD+UPD: returns (dxt, dw, dr, db, dh0, dc0)."""
+        """Combined BWD+UPD: returns (dxt, dw, dr, db, dh0, dc0).
+
+        Stateless: re-runs the forward inside jax.vjp to rebuild the
+        residuals.  A fwd-then-bwd training step should use
+        forward_train()/backward_from_saved() instead, which keep the
+        stored activations between the two calls (the reference handle's
+        contract) and skip the recompute.
+        """
         d = self.desc
         if h0 is None:
             h0 = jnp.zeros((d.n, d.k), jnp.float32)
         if c0 is None:
             c0 = jnp.zeros((d.n, d.k), jnp.float32)
         return self._bwd(xt, w, r, b, h0, c0, dhs)
+
+    def forward_train(self, xt, w, r, b, h0=None, c0=None):
+        """FWD that also returns the backward residuals.
+
+        Returns ((hs, h_T, c_T), saved); pass ``saved`` to
+        backward_from_saved.  Analog of the reference handle keeping the
+        per-step activations in its scratch tensors between
+        execute(FWD) and execute(BWD/UPD) (libxsmm_main.h:600-693).
+        """
+        d = self.desc
+        if h0 is None:
+            h0 = jnp.zeros((d.n, d.k), jnp.float32)
+        if c0 is None:
+            c0 = jnp.zeros((d.n, d.k), jnp.float32)
+        return self._fwd_train(xt, w, r, b, h0, c0)
+
+    def backward_from_saved(self, saved, dhs):
+        """Combined BWD+UPD from forward_train's residuals (no forward
+        recompute): returns (dxt, dw, dr, db, dh0, dc0).  Gradients flow
+        through hs only (as in backward_weight_update)."""
+        return self._bwd_saved(saved, dhs)
 
     def execute(self, kind: Kind, **t):
         if kind == Kind.FWD:
