@@ -48,6 +48,22 @@ def _shard_map(f, mesh, in_specs, out_specs, check_vma=True):
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
+def _pvary(x, axis: str):
+    """Mark ``x`` device-varying on ``axis`` (shard_map VMA typing).
+
+    jax >= 0.9 spells this jax.lax.pcast(..., to='varying'); pvary is the
+    deprecated alias (VERDICT r3 housekeeping)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        try:
+            return pcast(x, (axis,), to="varying")
+        except TypeError:
+            pass
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, (axis,))
+    return x
+
+
 def ring_spmm(mesh: Mesh, axis: str = "mp", precision=None):
     """Build fn(a, b) -> c with A row-sharded, B k-sharded, C row-sharded.
 
@@ -73,11 +89,10 @@ def ring_spmm(mesh: Mesh, axis: str = "mp", precision=None):
                 b_cur, axis, perm=[(j, (j - 1) % d) for j in range(d)])
             return c, b_nxt
 
-        c0 = jnp.zeros((a_loc.shape[0], b_loc.shape[1]), jnp.float32)
-        if hasattr(jax.lax, "pvary"):
-            # mark the carry as device-varying on the ring axis so it
-            # type-checks against the loop body's output (shard_map VMA)
-            c0 = jax.lax.pvary(c0, (axis,))
+        # mark the carry as device-varying on the ring axis so it
+        # type-checks against the loop body's output (shard_map VMA)
+        c0 = _pvary(jnp.zeros((a_loc.shape[0], b_loc.shape[1]),
+                              jnp.float32), axis)
         c, _ = jax.lax.fori_loop(0, d, step, (c0, b_loc))
         return c.astype(a_loc.dtype)
 
@@ -86,7 +101,8 @@ def ring_spmm(mesh: Mesh, axis: str = "mp", precision=None):
 
 
 def ring_spmm_csr(mesh: Mesh, a, n: int, axis: str = "mp",
-                  dtype="float32", strategy: str = "auto"):
+                  dtype="float32", strategy: str = "auto",
+                  chunks: int = 1):
     """Ring SpMM whose per-step compute is the library's own trace-unrolled
     CSR kernel (generator_spgemm_csr_asparse_soa.c analog), not a densified
     matmul.
@@ -136,9 +152,7 @@ def ring_spmm_csr(mesh: Mesh, a, n: int, axis: str = "mp",
     if not is_f64:
         def local(b_loc):
             my = jax.lax.axis_index(axis)
-            c = jnp.zeros((ml, n), jnp.float32)
-            if hasattr(jax.lax, "pvary"):
-                c = jax.lax.pvary(c, (axis,))
+            c = _pvary(jnp.zeros((ml, n), jnp.float32), axis)
             b_cur = b_loc
             for i in range(d):
                 branches = []
@@ -164,11 +178,8 @@ def ring_spmm_csr(mesh: Mesh, a, n: int, axis: str = "mp",
 
     def local64(bh_loc, bl_loc):
         my = jax.lax.axis_index(axis)
-        ch = jnp.zeros((ml, n), jnp.float32)
-        cl = jnp.zeros((ml, n), jnp.float32)
-        if hasattr(jax.lax, "pvary"):
-            ch = jax.lax.pvary(ch, (axis,))
-            cl = jax.lax.pvary(cl, (axis,))
+        ch = _pvary(jnp.zeros((ml, n), jnp.float32), axis)
+        cl = _pvary(jnp.zeros((ml, n), jnp.float32), axis)
         bh_cur, bl_cur = bh_loc, bl_loc
         for i in range(d):
             branches = []
