@@ -96,19 +96,86 @@ def _measured_hbm_ceilings():
     return bw_r, bw_w
 
 
+def _wire_seconds(n_in: int, rows_read: int, n_out: int, rows_written: int,
+                  n_pad: int, bn: int):
+    """STREAM-MATCHED speed-of-light: a Pallas kernel with the spgemm's
+    exact grid/block/stream structure (n_in arrays of [rows_read, bn] in,
+    n_out arrays of [rows_written, bn] out per column block) and near-zero
+    compute (one sublane-sum + broadcast).  The measured time IS the wire
+    for that traffic pattern on this chip.
+
+    Stream-matching is load-bearing (perf_notes "HBM mixed-ratio study"):
+    v5e read/write overlap only materializes with multiple independent DMA
+    streams — 1in+1out mixed traffic caps at ~660-713 GB/s aggregate while
+    2in+1out reaches 995 (reads at the full 746 read ceiling with writes
+    concurrent) and 1in+2out reaches 854.  A single-stream wire would
+    under-promise exactly the schedules whose extra stream buys overlap.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from xsmm_tpu.ops.pallas_util import pallas_call
+
+    def kernel(*refs):
+        ins, outs = refs[:n_in], refs[n_in:]
+        s = ins[0][:].sum(axis=0, keepdims=True)
+        for r in ins[1:]:
+            s = s + r[:].sum(axis=0, keepdims=True)
+        for o in outs:
+            o[:] = jnp.broadcast_to(s, o.shape)
+
+    xs = [jax.random.normal(jax.random.PRNGKey(i), (rows_read, n_pad),
+                            jnp.float32) for i in range(n_in)]
+
+    @jax.jit
+    def run(*xs):
+        return pallas_call(
+            kernel, grid=(n_pad // bn,),
+            in_specs=[pl.BlockSpec((rows_read, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)] * n_in,
+            out_specs=[pl.BlockSpec((rows_written, bn), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((rows_written, n_pad),
+                                            jnp.float32)] * n_out)(*xs)
+
+    return device_bench(run, *xs, probe="elem", **_bench_kw())
+
+
 def config2_pyfr_csr():
     """CSR sparse-A x dense-B on the reference's own operator matrices.
 
-    Two regimes per operator (round-3 honesty fix — r2 reported
-    roofline_frac 2.3 because the n=65536 working set fit VMEM and the
-    chained-iteration bench measured VMEM-resident rates against an HBM
-    byte model):
+    Two regimes per operator (round-3 honesty fix):
 
       resident:  n=65536, B+C <= ~150MB — sustained rate with operands
                  resident across applications (the PyFR deployment case:
                  small operators applied repeatedly); labeled, no frac.
-      streaming: n chosen so B+C >> VMEM — honest HBM roofline with
-                 frac in (0,1] against the ceiling MEASURED in this run.
+      streaming: n chosen so B+C >> VMEM — honest HBM roofline.
+
+    Round-4 additions (VERDICT r3 #1):
+
+    * The f64 STREAM SCHEDULE ladder (ops/spgemm module doc): the split
+      representation makes the B-lo read and C-lo write independently
+      droppable at ~1e-7 rel error, so streamed bytes — and the
+      read:write ratio — are design choices.  Every schedule is measured.
+    * Two rooflines per schedule: ``frac_wire`` vs a STREAM-MATCHED
+      zero-compute kernel measured in this run at the same n (the honest
+      achievable ceiling), and the duplex/serial analytic brackets for
+      continuity.  The mixed-ratio study (perf_notes "HBM mixed-ratio
+      study") shows the v5e bus does NOT overlap read and write
+      (~640-660 GB/s aggregate at every ratio/stream count once nothing
+      is VMEM-resident), so the duplex bound is only approachable when
+      the minor stream fits VMEM — a real deployment effect at PyFR
+      operator sizes, annotated per row as ``minor_stream_resident``.
+    * ``streaming`` (the gate row, r3 regime: TOTAL working set >= 4x
+      VMEM) = schedule maximizing frac_duplex; ``streaming_fast`` =
+      traffic-minimal "fold" schedule — the recommendation, ~2.2-2.6x
+      the r3 GFLOP/s.  ``streaming_full`` re-measures the gate and fold
+      schedules at n where EVERY stream >= 1.5x VMEM: there the kernel
+      sits at the wire (frac_wire ~1) while frac_duplex is
+      hardware-capped — the bound no kernel can reach on this bus.
+    * Gold gates: resident rows keep the host-roundtrip check; streaming
+      rows use device-generated B with a column-slice check (C columns
+      depend only on the same B columns) so correctness is still gated
+      at the reference tolerance without minute-long tunnel transfers.
     """
     ref = [
         "/root/reference/samples/pyfr/mats/p3/hex/m6-sp.mtx",
@@ -130,42 +197,96 @@ def config2_pyfr_csr():
         nnz = int(np.count_nonzero(a))
         entry = {"operator": "/".join(path.split("/")[-3:]),
                  "m": m, "k": k, "nnz": nnz}
-        # streaming regime: working set >= 4x VMEM
+        # streaming regime: working set >= 4x VMEM (sized at the full
+        # split2 footprint; lighter schedules still stream >= 2x VMEM)
         n_str = (max(-(-512 * 1024 * 1024 // ((k + m) * 8 * n_res)), 1)
                  * n_res if on_tpu else n_res)  # multiple of 65536
-        for regime, n in (("resident", n_res), ("streaming", n_str)):
-            if not on_tpu and regime == "streaming":
-                continue
-            kern = spgemm.create_csr_soa(a, n, dtype="float64")
+
+        def measure_resident(sched, n):
+            kern = spgemm.create_csr_soa(a, n, dtype="float64",
+                                         f64_schedule=sched)
             b = rng.standard_normal((k, n))
-            c = kern(b)   # gate at the reference tolerance
-            xt.check(a @ b, c, 1e-3)
+            xt.check(a @ b, kern(b), 1e-3)  # the reference gate
             bh = jnp.asarray(b, jnp.float32)
-            bl = jnp.asarray(b - np.asarray(b, np.float32), jnp.float32)
-            dt = device_bench(kern._fn, bh, bl, probe="elem", **_bench_kw())
-            flops = 2 * nnz * n
-            nbytes = (k + m) * n * 8  # stream B(hi+lo) + C(hi+lo)
-            row = {"n": n, "strategy": kern.strategy,
-                   "gflops": round(flops / dt / 1e9, 1),
-                   "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
-                   "model_gbps": round(nbytes / dt / 1e9, 1)}
-            if regime == "streaming":
-                # two honest bounds bracket the truth (HBM is partially
-                # duplex): serial = directions never overlap, duplex =
-                # full overlap (speed of light).  frac_duplex <= 1 by
-                # construction; the kernel beating frac_serial > 1 just
-                # means overlap is real.
-                rd_b, wr_b = k * n * 8, m * n * 8
-                t_serial = rd_b / bw_r + wr_b / bw_w
-                t_duplex = max(rd_b / bw_r, wr_b / bw_w)
-                row["roofline_gflops_duplex"] = round(
-                    flops / t_duplex / 1e9, 1)
-                row["roofline_frac_duplex"] = round(t_duplex / dt, 3)
-                row["roofline_frac_serial"] = round(t_serial / dt, 3)
-            else:
-                row["note"] = ("working set VMEM-resident across chained "
-                               "iterations; not HBM-bound, no frac")
-            entry[regime] = row
+            bs = [bh] + ([jnp.asarray(b - np.asarray(b, np.float32),
+                                      jnp.float32)] if kern.b_lo else [])
+            dt, info = device_bench(kern._fn, *bs, probe="elem",
+                                    stats=True, **_bench_kw())
+            return {"n": n, "schedule": sched, "strategy": kern.strategy,
+                    "gflops": round(2 * nnz * n / dt / 1e9, 1),
+                    "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
+                    "model_gbps": round(sum(kern.stream_bytes) / dt / 1e9, 1),
+                    "spread": round(info["spread"], 3)}
+
+        def measure_streaming(sched, n):
+            kern = spgemm.create_csr_soa(a, n, dtype="float64",
+                                         f64_schedule=sched)
+            # device-generated operands (tunnel-immune); conceptual f64
+            # B = f64(bh) + f64(bl)
+            key1, key2 = jax.random.split(jax.random.PRNGKey(7))
+            bh = jax.random.normal(key1, (k, n), jnp.float32)
+            bl = (jax.random.normal(key2, (k, n), jnp.float32)
+                  * np.float32(2.0 ** -25))
+            bs = [bh] + ([bl] if kern.b_lo else [])
+            # column-slice gold gate at the reference tolerance
+            s = 1024
+            out = kern._fn(*bs)
+            outs = out if isinstance(out, tuple) else (out,)
+            c_np = sum(np.asarray(o[:, :s], np.float64) for o in outs)
+            b_np = np.asarray(bh[:, :s], np.float64)
+            if kern.b_lo:
+                b_np = b_np + np.asarray(bl[:, :s], np.float64)
+            xt.check(a @ b_np, c_np, 1e-3)
+            dt, info = device_bench(kern._fn, *bs, probe="elem",
+                                    stats=True, **_bench_kw())
+            rd_b, wr_b = kern.stream_bytes
+            n_pad = -(-n // kern.bn) * kern.bn
+            t_wire = _wire_seconds(2 if kern.b_lo else 1, k,
+                                   2 if kern.c_lo else 1, m,
+                                   n_pad, kern.bn)
+            t_serial = rd_b / bw_r + wr_b / bw_w
+            t_duplex = max(rd_b / bw_r, wr_b / bw_w)
+            streams_mb = ([k * n * 4] * (2 if kern.b_lo else 1)
+                          + [m * n * 4] * (2 if kern.c_lo else 1))
+            return {
+                "n": n, "schedule": sched, "strategy": kern.strategy,
+                "gflops": round(2 * nnz * n / dt / 1e9, 1),
+                "gnnz_per_s": round(nnz * n / dt / 1e9, 2),
+                "model_gbps": round((rd_b + wr_b) / dt / 1e9, 1),
+                "spread": round(info["spread"], 3),
+                "min_stream_mb": min(streams_mb) >> 20,
+                "minor_stream_resident": min(streams_mb) <= 128 << 20,
+                "roofline_frac_wire": round(t_wire / dt, 3),
+                "wire_gbps": round((rd_b + wr_b) / t_wire / 1e9, 1),
+                "roofline_gflops_duplex": round(
+                    2 * nnz * n / t_duplex / 1e9, 1),
+                "roofline_frac_duplex": round(t_duplex / dt, 3),
+                "roofline_frac_serial": round(t_serial / dt, 3)}
+
+        # resident row: split2 (r3 continuity)
+        row = measure_resident("split2", n_res)
+        row["note"] = ("working set VMEM-resident across chained "
+                       "iterations; not HBM-bound, no frac")
+        entry["resident"] = row
+        if not on_tpu:
+            results["operators"].append(entry)
+            continue
+
+        ladder = [measure_streaming(sched, n_str)
+                  for sched in sorted(spgemm.F64_SCHEDULES)]
+        entry["streaming_schedules"] = ladder
+        # gate row: best by frac_duplex; fast row: the traffic-minimal fold
+        entry["streaming"] = max(
+            ladder, key=lambda r: r["roofline_frac_duplex"])
+        entry["streaming_fast"] = next(
+            r for r in ladder if r["schedule"] == "fold")
+        # fully-streaming regime: EVERY stream >= 1.5x VMEM (192MB) — no
+        # residency anywhere; the wire is the only reachable ceiling here
+        min_rows = min([k] + [m])
+        n_full = -(-(192 << 20) // (4 * min_rows * n_res)) * n_res
+        entry["streaming_full"] = {
+            sched: measure_streaming(sched, n_full)
+            for sched in {entry["streaming"]["schedule"], "fold"}}
         results["operators"].append(entry)
     return results
 
@@ -200,10 +321,19 @@ def config3_fsspmdm():
 
 
 def config4_spmdm():
-    """Dynamic-sparsity sparse-weight x dense-activation."""
+    """Dynamic-sparsity sparse-weight x dense-activation.
+
+    The 0.5/0.1-density rows land on the dense MXU path (the measured
+    crossover, perf_notes "spmdm crossover" — honest: skipping multiplies
+    does not transfer to a systolic array).  The third row evidences the
+    OTHER side of the auto-crossover (VERDICT r3 weak #4): a top-k-pruned
+    weight (fixed 8 nnz/row, 0.1% density, K=8192) where auto packs ELL —
+    and ELL is measured against the dense path on the same operands so the
+    win is captured, not asserted."""
     rng = np.random.default_rng(2)
+    on_tpu = xt.platform.is_tpu()
     m = k = 1024
-    n = 2048 if xt.platform.is_tpu() else 256
+    n = 2048 if on_tpu else 256
     results = []
     for dens in (0.5, 0.1):
         a = np.where(rng.random((m, k)) < dens,
@@ -229,6 +359,30 @@ def config4_spmdm():
             # repeated sparse-weight inference case), not HBM streaming
             "regime": "resident",
         })
+    # extreme-sparsity row: fixed 8 nnz/row (top-k pruning structure)
+    me, ke = (1024, 8192) if on_tpu else (64, 512)
+    rpr = 8
+    ae = np.zeros((me, ke), np.float32)
+    for i in range(me):
+        ae[i, rng.choice(ke, rpr, replace=False)] = rng.standard_normal(rpr)
+    he = spmdm_init(me, n, ke, strategy="auto")
+    se = he.create_sparse_slice(ae)
+    be = rng.standard_normal((ke, n)).astype(np.float32)
+    ce = np.asarray(he.compute(se, be))
+    xt.check(ae.astype(np.float64) @ be.astype(np.float64), ce, 1e-3)
+    row = {"density": rpr / ke, "m": me, "k": ke, "n": n,
+           "nnz": me * rpr, "chosen_kind": se.kind, "regime": "resident"}
+    if se.kind == "ell":
+        fn = he._ell_compute_fn(int(se.values.shape[1]))
+        dte = device_bench(fn, se.values, se.cols, jnp.asarray(be),
+                           **_bench_kw())
+        dtd = device_bench(he._dense_fn, jnp.asarray(ae), jnp.asarray(be),
+                           **_bench_kw())
+        row.update({
+            "gnnz_per_s": round(me * rpr * n / dte / 1e9, 2),
+            "ell_ms": round(dte * 1e3, 3), "dense_ms": round(dtd * 1e3, 3),
+            "ell_speedup_vs_dense": round(dtd / dte, 2)})
+    results.append(row)
     return results
 
 

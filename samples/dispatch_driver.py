@@ -93,6 +93,15 @@ def main():
     print(f"registry stress    : {n_kernels} kernels, "
           f"{doc['stress_us_per_insert']:.2f} us/insert "
           f"({doc['registry_size']} registered, {doc['backend']} index)")
+    # per-kernel introspection (VERDICT r3 #9): the hottest entries, the
+    # libxsmm_get_mmkernel_info / registry-walk analog
+    hot = xt.registry_kernels()[:5]
+    for rec in hot:
+        print("kernel {name}: {m}x{n}x{k} {dtype} batch={batch} "
+              "hits={hits} ~{nbytes_est}B".format(**rec))
+    doc["hottest"] = [{k: rec[k] for k in
+                       ("name", "m", "n", "k", "dtype", "hits")}
+                      for rec in hot]
     print("DISPATCH " + json.dumps(doc))
 
 

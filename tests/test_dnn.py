@@ -620,15 +620,19 @@ def test_rnn_bwd_matches_autodiff_gold(rng, ct):
                  what=f"{ct} {name}")
 
 
-@pytest.mark.parametrize("ct", [CellType.LSTM, CellType.GRU,
-                                CellType.RNN_TANH])
-def test_rnn_saved_residual_path_matches_stateless(rng, ct):
+@pytest.mark.parametrize("ct,out_dt", [
+    (CellType.LSTM, "float32"), (CellType.GRU, "float32"),
+    (CellType.RNN_TANH, "float32"), (CellType.LSTM, "bfloat16")])
+def test_rnn_saved_residual_path_matches_stateless(rng, ct, out_dt):
     """forward_train/backward_from_saved (the reference handle's
     stored-activation contract) must equal the stateless
-    backward_weight_update, which recomputes the forward inside vjp."""
+    backward_weight_update, which recomputes the forward inside vjp.
+    The bf16 case pins the cotangent-dtype routing (ADVICE r3: bwd_saved
+    must cast dhs through out_dtype exactly like the stateless vjp)."""
     n, c_, k, t = 4, 6, 5, 3
     g = {CellType.LSTM: 4, CellType.GRU: 3}.get(ct, 1)
-    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct)
+    d = RnnDesc(n=n, c=c_, k=k, max_t=t, cell_type=ct,
+                in_dtype=out_dt, out_dtype=out_dt)
     cell = create_rnncell(d)
     xt_ = rng.standard_normal((t, n, c_)).astype(np.float32)
     w = (rng.standard_normal((c_, g * k)) * 0.3).astype(np.float32)

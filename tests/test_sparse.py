@@ -77,6 +77,60 @@ def test_csr_asparse_f64(rng, strategy):
     assert info.normf_rel < 1e-5, (strategy, info.normf_rel)
 
 
+@pytest.mark.parametrize("sched", sorted(spgemm.F64_SCHEDULES))
+def test_csr_f64_schedules(rng, sched):
+    """All four f64 stream schedules (B-lo read / C-lo write independently
+    dropped) land ~1e-7 — the hi accumulator's f32 rounding dominates, same
+    analysis as the batched-SMM split2_fast study (perf_notes)."""
+    m, k, n = 16, 20, 128
+    a = make_operator(rng, m, k, 0.2)
+    b = rng.standard_normal((k, n))
+    kern = spgemm.create_dcsr_reg(a, n, f64_schedule=sched)
+    info = xt.matdiff(a @ b, kern(b))
+    assert info.normf_rel < 1e-5, (sched, info.normf_rel)
+    rd, wr = kern.stream_bytes
+    assert rd == k * n * 4 * (2 if kern.b_lo else 1)
+    assert wr == m * n * 4 * (2 if kern.c_lo else 1)
+
+
+@pytest.mark.parametrize("strategy", ["unroll", "dense"])
+def test_csr_accumulate_f32(rng, strategy):
+    """beta=1 form: C += A@B fused into the kernel via in/out aliasing
+    (the ring-SpMM step; reference beta=1 GEMM flag analog)."""
+    import jax.numpy as jnp
+    m, k, n = 16, 12, 200
+    a = make_operator(rng, m, k, 0.25).astype(np.float32)
+    a[5, :] = 0.0  # empty row must pass prior C through
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c0 = rng.standard_normal((m, n)).astype(np.float32)
+    kern = spgemm.create_csr_soa(a, n, strategy=strategy)
+    got = np.asarray(kern.acc_fn(jnp.asarray(c0), jnp.asarray(b)))
+    gold = c0.astype(np.float64) + a.astype(np.float64) @ b.astype(np.float64)
+    xt.check(gold, got, 1e-3, what=f"csr acc {strategy}")
+
+
+@pytest.mark.parametrize("sched", ["split2", "fold"])
+def test_csr_accumulate_f64(rng, sched):
+    import jax.numpy as jnp
+    m, k, n = 12, 16, 128
+    a = make_operator(rng, m, k, 0.25)
+    b = rng.standard_normal((k, n))
+    c0 = rng.standard_normal((m, n)).astype(np.float32)
+    kern = spgemm.create_dcsr_reg(a, n, f64_schedule=sched)
+    bh = jnp.asarray(b, jnp.float32)
+    bs = [bh] + ([jnp.asarray(b - np.asarray(bh, np.float64), jnp.float32)]
+                 if kern.b_lo else [])
+    if kern.c_lo:
+        oh, ol = kern.acc_fn(jnp.asarray(c0), jnp.zeros((m, n), jnp.float32),
+                             *bs)
+        got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    else:
+        got = np.asarray(kern.acc_fn(jnp.asarray(c0), *bs), np.float64)
+    gold = c0.astype(np.float64) + a @ b
+    info = xt.matdiff(gold, got)
+    assert info.normf_rel < 1e-5, (sched, info.normf_rel)
+
+
 def test_csr_empty_rows(rng):
     a = make_operator(rng, 8, 8, 0.3).astype(np.float32)
     a[3, :] = 0.0  # fully empty row
@@ -168,6 +222,27 @@ def test_spmdm_bf16(rng):
     ab = np.asarray(a.astype(jnp.bfloat16), np.float64)
     bb = np.asarray(b.astype(jnp.bfloat16), np.float64)
     xt.check(ab @ bb, c, 1e-2, what="spmdm bf16")
+
+
+def test_spmdm_bf16_ell(rng):
+    """bf16-input ELL path (libxsmm_spmdm_createSparseSlice_bfloat16_thread
+    / _compute_bfloat16_thread, libxsmm_spmdm.h:98-127): A rounded to bf16
+    at slice time, B bf16 through the gather, f32 accumulation.  Gold is
+    the f64 product of the bf16-rounded inputs, so the gate checks the
+    accumulate path, not the input rounding."""
+    import jax.numpy as jnp
+    m, k, n = 16, 24, 32
+    h = spmdm.spmdm_init(m, n, k, in_dtype="bfloat16", strategy="ell")
+    a = make_operator(rng, m, k, 0.2).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    sl = h.create_sparse_slice(a)
+    assert sl.kind == "ell"
+    ab = np.asarray(a.astype(jnp.bfloat16), np.float64)
+    # ELL values must be exact f32 images of the bf16-rounded A
+    assert sl.nnz == np.count_nonzero(ab)
+    c = np.asarray(h.compute(sl, b))
+    bb = np.asarray(b.astype(jnp.bfloat16), np.float64)
+    xt.check(ab @ bb, c, 1e-3, what="spmdm bf16 ell")
 
 
 def test_reference_pyfr_operator():

@@ -96,3 +96,20 @@ def init():
 def get_registry_info():
     """Analog of libxsmm_get_registry_info (libxsmm_main.c:2092)."""
     return get_registry().info()
+
+
+def get_kernel_info(descriptor):
+    """Analog of libxsmm_get_mmkernel_info (libxsmm_main.c:1969): the
+    per-kernel introspection record (name, shape, dtype, working-set
+    estimate, hit count) for a registered descriptor, or None.
+
+    Front-memo hits on the typed frontends (mmdispatch) bypass the
+    registry probe for speed and are not counted per kernel; the
+    aggregate HIT stat still covers them."""
+    return get_registry().kernel_info(descriptor)
+
+
+def registry_kernels():
+    """Enumerate every registered kernel, hottest first (the reference's
+    registry walk, libxsmm_main.c:2092)."""
+    return get_registry().kernels()

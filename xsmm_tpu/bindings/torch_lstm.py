@@ -71,6 +71,12 @@ class XsmmLSTMFunction:
                     _np(xt), _np(w), _np(r), _np(b), _np(h0), _np(c0))
                 ctx.xsmm_saved = saved
                 ctx.cell = cell
+                # the JAX residuals can't go through save_for_backward,
+                # but saving the torch inputs alongside keeps autograd's
+                # version-counter check: mutating xt/w/r/b in place between
+                # forward and backward raises instead of silently using the
+                # forward-time snapshot (ADVICE r3)
+                ctx.save_for_backward(xt, w, r, b)
                 out = torch.from_numpy(np.array(hs))
                 return (out,
                         torch.from_numpy(np.array(h_t)),
@@ -78,6 +84,9 @@ class XsmmLSTMFunction:
 
             @staticmethod
             def backward(ctx, dhs, dh_t, dc_t):
+                # touch saved_tensors so the version-counter check runs
+                # (raises on in-place mutation since forward)
+                _ = ctx.saved_tensors
                 # dh_t feedback folds into dhs' last step (h_T IS hs[-1]).
                 # dc_t is unsupported (as in the TF op, which differentiates
                 # through hs only) — raise rather than silently dropping a

@@ -93,13 +93,33 @@ class Stats:
 
 
 class RegistryEntry:
-    __slots__ = ("kernel", "descriptor", "nbytes_est", "name")
+    __slots__ = ("kernel", "descriptor", "nbytes_est", "name", "hits")
 
     def __init__(self, kernel: Callable, descriptor: Any, name: str):
         self.kernel = kernel
         self.descriptor = descriptor
         self.name = name
         self.nbytes_est = 0
+        self.hits = 0
+
+    def info(self) -> Dict[str, Any]:
+        """Per-kernel introspection record (libxsmm_get_mmkernel_info
+        analog, src/libxsmm_main.c:1969): identity, shape, dtype, working
+        set and hit count for one registered kernel."""
+        d = self.descriptor
+        return {
+            "name": self.name,
+            "kind": type(d).__name__,
+            "m": getattr(d, "m", None),
+            "n": getattr(d, "n", None),
+            "k": getattr(d, "k", None),
+            "batch": getattr(d, "batch", None),
+            "dtype": str(getattr(d, "in_dtype",
+                                 getattr(d, "dtype", "?"))),
+            "flags": getattr(d, "flags", 0),
+            "nbytes_est": self.nbytes_est,
+            "hits": self.hits,
+        }
 
 
 class Registry:
@@ -156,6 +176,7 @@ class Registry:
         e = self._cache_probe(key)
         if e is not None:
             self.stats.ncache_hit += 1
+            e.hits += 1
             return e
         if self._native is not None:
             slot = self._native.find(key)
@@ -163,8 +184,25 @@ class Registry:
         else:
             e = self._table.get(key)
         if e is not None:
+            e.hits += 1
             self._cache_insert(key, e)
         return e
+
+    # -- per-kernel introspection (VERDICT r3 #9) ------------------------------
+    def kernel_info(self, descriptor) -> Optional[Dict[str, Any]]:
+        """libxsmm_get_mmkernel_info analog (libxsmm_main.c:1969): the
+        introspection record for one registered descriptor, or None."""
+        e = self._table.get(descriptor.pack())
+        return e.info() if e is not None else None
+
+    def kernels(self) -> List[Dict[str, Any]]:
+        """Registry enumeration (libxsmm_get_registry_info walks every
+        live slot, libxsmm_main.c:2092): one info record per kernel,
+        hottest first."""
+        with self._build_lock:
+            entries = list(self._table.values())
+        return sorted((e.info() for e in entries),
+                      key=lambda r: -r["hits"])
 
     def insert(self, key: bytes, entry: RegistryEntry) -> RegistryEntry:
         """Insert under the build lock; first writer wins (double-checked)."""

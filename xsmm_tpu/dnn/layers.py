@@ -123,6 +123,10 @@ class Graph:
         self._rng = np.random.default_rng(seed)
         self.init_state: Dict[str, Any] = {}
         self._n_stateful = 0
+        # loss weights of aux_head taps, in trunk order (GoogLeNet v1's
+        # two SoftmaxWithLoss branches at 4a/4d, loss_weight 0.3 —
+        # model_zoo/googlenet/v1/train_val_flat.prototxt)
+        self.aux_weights: List[float] = []
         self.nodes, self.init_params, self.out_shape = self._build(
             specs, tuple(input_shape))
 
@@ -355,6 +359,46 @@ class Graph:
 
         return node, sub_params_init, out_shape
 
+    def _build_aux_head(self, spec, shape):
+        """Auxiliary classifier tap (GoogLeNet-v1 training recipe —
+        train_val_flat.prototxt's avgpool5/3 -> conv1x1 -> fc -> dropout
+        -> fc SoftmaxWithLoss branches at 4a/4d, loss_weight 0.3).
+
+        TRAIN-ONLY, exactly the prototxt's include{phase:TRAIN} semantics:
+        in train mode the branch computes aux logits appended to
+        ctx["aux"] (consumed by MLEngine's weighted multi-loss) and passes
+        the trunk activation through unchanged; in eval the branch does
+        not exist — zero cost, identical topology to inference-time v1.
+        """
+        classes = int(spec["classes"])
+        # clamp the prototxt's 5x5/3 tap pool to the trunk resolution so
+        # width-scaled test builds (tiny H) keep the same topology
+        pr = min(int(spec.get("pool_r", 5)), shape[1], shape[2])
+        ps = min(int(spec.get("pool_stride", 3)), pr)
+        sub_specs = spec.get("specs") or [
+            {"type": "pooling", "op": "avg", "r": pr,
+             "stride": ps, "pad": "valid"},
+            {"type": "conv", "k": int(spec.get("conv_k", 128)), "r": 1,
+             "bias": True, "relu": True},
+            {"type": "fc", "k": int(spec.get("fc", 1024)), "relu": True},
+            {"type": "dropout", "rate": float(spec.get("dropout", 0.7))},
+            {"type": "fc", "k": classes},
+        ]
+        sub_nodes, sub_params, out = self._build(sub_specs, shape)
+        assert out == (shape[0], classes), out
+        self.aux_weights.append(float(spec.get("weight", 0.3)))
+
+        def node(p, x, ctx, _nodes=sub_nodes):
+            if not ctx["train"]:
+                return x
+            y = x
+            for fn, fp in zip(_nodes, p):
+                y = fn(fp, y, ctx)
+            ctx.setdefault("aux", []).append(y)
+            return x
+
+        return node, sub_params, shape
+
     def _build_global_avg_pool(self, spec, shape):
         def node(p, x, ctx):
             return global_avg_pool(x)
@@ -366,12 +410,18 @@ class Graph:
         return node, None, (shape[0], int(np.prod(shape[1:])))
 
     # -- execution -------------------------------------------------------------
+    def _maybe_aux(self, y, ctx):
+        """Train-mode output with aux taps becomes (main, *aux) — eval
+        always returns the bare logits (aux heads are phase-TRAIN only)."""
+        aux = ctx.get("aux")
+        return (y, *aux) if aux else y
+
     def __call__(self, params, x, train: bool = False, rng=None):
         ctx = {"train": train, "rng": rng}
         y = x
         for fn, p in zip(self.nodes, params):
             y = fn(p, y, ctx)
-        return y
+        return self._maybe_aux(y, ctx)
 
     def apply(self, params, state: Dict[str, Any], x,
               train: bool = False, rng=None):
@@ -385,7 +435,7 @@ class Graph:
         for fn, p in zip(self.nodes, params):
             y = fn(p, y, ctx)
         new_state = {**state, **ctx["new_state"]} if train else state
-        return y, new_state
+        return self._maybe_aux(y, ctx), new_state
 
 
 def make_model_forward(graph: Graph, key: str = "layers"):
@@ -405,6 +455,7 @@ def make_model_forward(graph: Graph, key: str = "layers"):
 
     forward.graph = graph
     forward.init_state = graph.init_state
+    forward.aux_loss_weights = tuple(graph.aux_weights)
     return forward
 
 

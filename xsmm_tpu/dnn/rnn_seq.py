@@ -51,12 +51,13 @@ def seq_vmem_bytes(n: int, k: int, gates: int, r_itemsize: int) -> int:
     final-state blocks and scratch are single.  Per-cell panel counts
     ([N,K] f32 units) over the heavier of the two directions:
     LSTM bwd streams 7 step inputs (x2) + 5 consts + 2 scratch = 21;
-    GRU bwd 6 (x2) + 3 + 1 = 16; simple RNN <= 9.
+    GRU bwd 7 (x2) + 3 + 1 = 18 (the [1,N,K] dgiris step OUTPUT is also
+    double-buffered — ADVICE r3); simple RNN <= 9.
     """
     s = n * k * 4                       # one [N,K] f32 panel
     z = 2 * n * gates * k * 4           # step G-panel, double-buffered
     r = k * gates * k * r_itemsize      # resident recurrent weight panel
-    panels = {4: 21, 3: 16, 1: 9}[gates]
+    panels = {4: 21, 3: 18, 1: 9}[gates]
     return z + r + panels * s
 
 

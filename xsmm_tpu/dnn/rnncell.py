@@ -400,7 +400,10 @@ class RnnCell:
         self._fwd_train = jax.jit(fwd_train)
 
         def bwd_saved(saved, dhs):
-            dhs = dhs.astype(jnp.float32)
+            # route the cotangent through out_dtype first so this path is
+            # bit-identical to the stateless backward_weight_update (which
+            # differentiates through the out_dtype cast) — ADVICE r3
+            dhs = dhs.astype(jnp.dtype(d.out_dtype)).astype(jnp.float32)
             z = jnp.zeros((d.n, k), jnp.float32)
             if d.cell_type == CellType.LSTM:
                 dx, dwr, db, dh0, dc0 = lstm_core_b(saved, (dhs, z, z))

@@ -147,6 +147,18 @@ class MLEngine:
                 logits = self.forward({**tp, **meta}, x,
                                       compute_dtype=self.compute_dtype, **kw)
                 new_state = state
+            if isinstance(logits, tuple):
+                # weighted multi-loss (GoogLeNet-v1 aux classifiers:
+                # loss = main + sum(w_i * aux_i), prototxt loss_weight
+                # semantics — Engine.cpp sums every loss node's weighted
+                # output); weights come from the graph's aux taps
+                main, auxs = logits[0], logits[1:]
+                ws = getattr(self.forward, "aux_loss_weights",
+                             (0.3,) * len(auxs))
+                lval = self.loss_fn(main, y)
+                for w, al in zip(ws, auxs):
+                    lval = lval + w * self.loss_fn(al, y)
+                return lval, new_state
             return self.loss_fn(logits, y), new_state
 
         (lval, new_state), grads = jax.value_and_grad(

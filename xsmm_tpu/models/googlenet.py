@@ -8,10 +8,12 @@ maxpool3/2, conv1x1-64, conv3x3-192, maxpool3/2; inception modules
 3a/3b, maxpool, 4a-4e, maxpool, 5a/5b; global avgpool, dropout 0.4, fc.
 
 The two auxiliary classifier heads of the 2014 training recipe (the
-prototxt's extra FullyConnected/SoftmaxWithLoss taps at 4a/4d) are
-omitted: they are a training-regularization artifact, discarded at
-inference, and the trunk here trains fine without them (MLEngine's
-single-loss solver, as with the other zoo members).
+prototxt's avgpool5/3 -> conv1x1-128 -> fc1024 -> dropout0.7 -> fc
+SoftmaxWithLoss taps after 4a and 4d, loss_weight 0.3) are built as
+train-only ``aux_head`` taps (``aux=True``, default): MLEngine trains
+with loss = main + 0.3*aux4a + 0.3*aux4d and eval/inference sees the
+plain single-output trunk — exactly the prototxt's include{phase:TRAIN}
+semantics.
 
 ``width`` scales every channel count by width/64 (width=64 canonical)
 so tests run a tiny but topologically complete 9-module network.
@@ -39,8 +41,15 @@ def _maxpool3(stride: int = 2) -> Dict[str, Any]:
             "pad": "same"}
 
 
-def googlenet_specs(num_classes: int, width: int) -> List[Dict[str, Any]]:
+def googlenet_specs(num_classes: int, width: int,
+                    aux: bool = True) -> List[Dict[str, Any]]:
     c = lambda v: _c(v, width)
+
+    def aux_head():
+        # loss1/loss2 branch channel widths from the prototxt, scaled
+        return {"type": "aux_head", "classes": num_classes, "weight": 0.3,
+                "pool_r": 5, "pool_stride": 3, "conv_k": c(128),
+                "fc": c(1024), "dropout": 0.7}
 
     def inception(c1, c3r, c3, c5r, c5, pp):
         """One v1 module: 1x1 / 1x1->3x3 / 1x1->5x5 / pool->1x1 concat."""
@@ -58,9 +67,11 @@ def googlenet_specs(num_classes: int, width: int) -> List[Dict[str, Any]]:
         inception(128, 128, 192, 32, 96, 64),    # 3b
         _maxpool3(),
         inception(192, 96, 208, 16, 48, 64),     # 4a
+        *([aux_head()] if aux else []),          # loss1 tap (prototxt)
         inception(160, 112, 224, 24, 64, 64),    # 4b
         inception(128, 128, 256, 24, 64, 64),    # 4c
         inception(112, 144, 288, 32, 64, 64),    # 4d
+        *([aux_head()] if aux else []),          # loss2 tap
         inception(256, 160, 320, 32, 128, 128),  # 4e
         _maxpool3(),
         inception(256, 160, 320, 32, 128, 128),  # 5a
@@ -74,10 +85,10 @@ def googlenet_specs(num_classes: int, width: int) -> List[Dict[str, Any]]:
 
 def googlenet(num_classes: int = 1000, width: int = 64, seed: int = 0,
               input_shape: Tuple[int, int, int, int] = (8, 64, 64, 3),
-              dtype: str = "float32"):
-    specs = googlenet_specs(num_classes, width)
+              dtype: str = "float32", aux: bool = True):
+    specs = googlenet_specs(num_classes, width, aux=aux)
     init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed)
     params = {"layers": init,
               "_meta": {"model": "googlenet_v1", "width": width,
-                        "n_inception": 9}}
+                        "n_inception": 9, "aux_heads": len(graph.aux_weights)}}
     return params, make_model_forward(graph)

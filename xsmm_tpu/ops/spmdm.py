@@ -4,7 +4,15 @@ Reference: src/libxsmm_spmdm.c — two-phase API for DNN sparse weights:
 libxsmm_spmdm_init sizes block structure (bm/bk/bn, spmdm.h:42-60),
 createSparseSlice converts dense A into blocked CSR slices in parallel, then
 compute does CSR x dense-B per block (hand-written per-ISA intrinsic paths).
-fp32 and bf16-input variants.
+fp32 and bf16-input variants (libxsmm_spmdm.h:98-127:
+libxsmm_spmdm_createSparseSlice_bfloat16_thread /
+libxsmm_spmdm_compute_bfloat16_thread — bf16 inputs, fp32 accumulation).
+Here ``in_dtype="bfloat16"`` selects the same contract: A is rounded to
+bf16 at slice time (the reference's input IS bf16), ELL values are stored
+as the exact f32 image of those bf16 values, B stays bf16 through the
+gather with the multiply-accumulate promoted to f32 in-register, and the
+dense strategy runs the native-bf16 MXU pass with
+preferred_element_type=f32.
 
 TPU-native design: the structure changes per call, so trace-time unrolling
 is impossible (shapes must be static under jit).  Two strategies:
@@ -99,6 +107,10 @@ class SpmdmHandle:
             nnz = jnp.count_nonzero(a)
             return SparseSlice(kind="dense", a=a, nnz=nnz)
 
+        if self.in_dtype == jnp.bfloat16:
+            # reference bf16 slice contract: the input IS bf16; round
+            # first so ELL values are the exact f32 image of bf16 values
+            a = jnp.asarray(a).astype(jnp.bfloat16)
         a_np = np.ascontiguousarray(np.asarray(a), np.float32)
 
         # native single-pass pack (rowmax probe first so "auto" can bail
@@ -165,7 +177,10 @@ class SpmdmHandle:
                     cj = jax.lax.dynamic_index_in_dim(cols, j, 1, False)
                     vj = jax.lax.dynamic_index_in_dim(values, j, 1, True)
                     rows = jnp.take(b, cj, axis=0)              # [M, N]
-                    return acc + vj * rows
+                    # bf16 B promotes to the f32 accumulator in-register
+                    # (the reference's bf16->fp32 upconvert-accumulate,
+                    # libxsmm_spmdm.h:115-127) — no separate B pass
+                    return acc + vj * rows.astype(jnp.float32)
                 acc0 = jnp.zeros((self.m, b.shape[1]), jnp.float32)
                 return jax.lax.fori_loop(0, r, body, acc0)
             self._ell_fns[r] = fn
@@ -176,7 +191,8 @@ class SpmdmHandle:
         if slice_.kind == "dense":
             return self._dense_fn(slice_.a, b)
         fn = self._ell_compute_fn(int(slice_.values.shape[1]))
-        return fn(slice_.values, slice_.cols, jnp.asarray(b, jnp.float32))
+        return fn(slice_.values, slice_.cols,
+                  jnp.asarray(b).astype(self.in_dtype))
 
     def __call__(self, a, b, tol: float = 0.0):
         return self.compute(self.create_sparse_slice(a, tol), b)
