@@ -28,17 +28,36 @@ from _common import np  # noqa: F401  (path setup)
 import jax
 
 import xsmm_tpu as xt
-from xsmm_tpu.models import MLEngine, SolverConfig, resnet
+from xsmm_tpu.models import MLEngine, SolverConfig, googlenet, lenet, resnet
 from xsmm_tpu.models.engine import (device_template_batches,
                                     template_batches)
 from xsmm_tpu.parallel.mesh import make_mesh
 
+# model builders for the convergence zoo (VERDICT r3 #7: more than one
+# member with a captured accuracy curve).  Each entry: name ->
+# (build(dtype, width, batch, hw, classes), hw, chans, classes, lr)
+MODEL_ZOO = {
+    "resnet18": (lambda dt, w, b, hw, cl: resnet(
+        depth=18, num_classes=cl, width=w, input_shape=(b, hw, hw, 3),
+        dtype=dt), 32, 3, 100, 0.02),
+    # LeNet on MNIST shapes (28x28x1, lenet_train_val.prototxt); lr 0.002:
+    # no BN, so momentum-SGD diverges at lenet_solver.prototxt's base 0.01
+    # on the template task (swept in tests/test_models.py)
+    "lenet": (lambda dt, w, b, hw, cl: lenet(
+        num_classes=cl, input_shape=(b, hw, hw, 1), dtype=dt),
+        28, 1, 10, 0.002),
+    # GoogLeNet v1 WITH the aux-loss taps (multi-loss training path)
+    "googlenet": (lambda dt, w, b, hw, cl: googlenet(
+        num_classes=cl, width=w, input_shape=(b, hw, hw, 3), dtype=dt),
+        64, 3, 100, 0.01),
+}
 
-def run_one(dtype: str, epochs: int, width: int, batch: int, hw: int = 32,
-            classes: int = 100, sigma: float = 1.5,
-            batches_per_epoch: int = 20, lr: float = 0.02):
-    params, fwd = resnet(depth=18, num_classes=classes, width=width,
-                         input_shape=(batch, hw, hw, 3), dtype=dtype)
+
+def run_one(dtype: str, epochs: int, width: int, batch: int,
+            model: str = "resnet18", sigma: float = 1.5,
+            batches_per_epoch: int = 20):
+    build, hw, chans, classes, lr = MODEL_ZOO[model]
+    params, fwd = build(dtype, width, batch, hw, classes)
     solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs,
                           weight_decay=1e-4)
     ndev = len(jax.devices())
@@ -47,24 +66,16 @@ def run_one(dtype: str, epochs: int, width: int, batch: int, hw: int = 32,
     on_tpu = xt.platform.is_tpu()
     epochs_out = []
     for ep in range(epochs):
-        if on_tpu:
-            it = device_template_batches(batches_per_epoch, batch, hw=hw,
-                                         classes=classes, sigma=sigma,
-                                         epoch=ep)
-        else:
-            it = template_batches(batches_per_epoch, batch, hw=hw,
-                                  classes=classes, sigma=sigma, epoch=ep)
+        gen = device_template_batches if on_tpu else template_batches
+        it = gen(batches_per_epoch, batch, hw=hw, classes=classes,
+                 sigma=sigma, epoch=ep, chans=chans)
         stats = eng.train_epoch(it, verbose=False)
         # validation through the global-stats eval path (epoch-end VAL
         # network pass, Engine.cpp:642)
         # same template seed (same task!), fresh noise via unused epoch
         # indices — a held-out validation set
-        if on_tpu:
-            vit = device_template_batches(4, batch, hw=hw, classes=classes,
-                                          sigma=sigma, epoch=1000 + ep)
-        else:
-            vit = template_batches(4, batch, hw=hw, classes=classes,
-                                   sigma=sigma, epoch=1000 + ep)
+        vit = gen(4, batch, hw=hw, classes=classes, sigma=sigma,
+                  epoch=1000 + ep, chans=chans)
         val = eng.validate(vit)
         row = {"epoch": ep, "loss": stats["loss"],
                "images_per_s": stats["images_per_s"],
@@ -78,7 +89,7 @@ def run_one(dtype: str, epochs: int, width: int, batch: int, hw: int = 32,
     ok = (last["loss"] < 0.6 * first["loss"]
           and last["val_top1"] >= 3.0 / classes)
     return {"dtype": dtype, "epochs": epochs_out, "converged": bool(ok),
-            "model": f"resnet18/width{width}", "batch": batch,
+            "model": f"{model}/width{width}", "batch": batch,
             "classes": classes, "platform": xt.platform.backend()}
 
 
@@ -96,11 +107,13 @@ def main():
     width = opt("--width", 16 if xt.platform.is_tpu() else 8)
     batch = opt("--batch", 256 if xt.platform.is_tpu() else 32)
     dtypes = opt("--dtypes", "float32,bfloat16", str).split(",")
+    models = opt("--models", "resnet18", str).split(",")
 
     results = []
     t0 = time.time()
-    for dt in dtypes:
-        results.append(run_one(dt, epochs, width, batch))
+    for model in models:
+        for dt in dtypes:
+            results.append(run_one(dt, epochs, width, batch, model=model))
     doc = {"results": results, "wall_s": round(time.time() - t0, 1),
            "all_converged": all(r["converged"] for r in results)}
     with open(out_path, "w") as f:

@@ -309,7 +309,7 @@ def synthetic_batches(n_batches: int, batch: int, hw: int = 32,
 
 def template_batches(n_batches: int, batch: int, hw: int = 32,
                      classes: int = 10, seed: int = 0, sigma: float = 0.6,
-                     epoch: int = 0):
+                     epoch: int = 0, chans: int = 3):
     """Deterministic LEARNABLE dataset: class templates + Gaussian noise.
 
     Each class is a fixed random template image (drawn once from the data
@@ -320,30 +320,33 @@ def template_batches(n_batches: int, batch: int, hw: int = 32,
     corpus in this environment a structured deterministic task plays
     that role)."""
     trng = np.random.default_rng(seed)  # templates: seed-stable
-    templates = trng.standard_normal((classes, hw, hw, 3)).astype(np.float32)
+    templates = trng.standard_normal(
+        (classes, hw, hw, chans)).astype(np.float32)
     rng = np.random.default_rng(seed + 1000 + epoch)
     for _ in range(n_batches):
         y = rng.integers(0, classes, (batch,)).astype(np.int32)
         x = templates[y] + sigma * rng.standard_normal(
-            (batch, hw, hw, 3)).astype(np.float32)
+            (batch, hw, hw, chans)).astype(np.float32)
         yield x, y
 
 
 def device_template_batches(n_batches: int, batch: int, hw: int = 32,
                             classes: int = 10, seed: int = 0,
-                            sigma: float = 0.6, epoch: int = 0):
+                            sigma: float = 0.6, epoch: int = 0,
+                            chans: int = 3):
     """Device-generated template_batches (zero host->device transfer);
     same task family, jax.random-based (not numerically identical to the
     host version, but identically distributed)."""
     tkey = jax.random.PRNGKey(seed)
-    templates = jax.random.normal(tkey, (classes, hw, hw, 3), jnp.float32)
+    templates = jax.random.normal(tkey, (classes, hw, hw, chans),
+                                  jnp.float32)
 
     @jax.jit
     def make(key):
         kx, ky = jax.random.split(key)
         y = jax.random.randint(ky, (batch,), 0, classes, jnp.int32)
         x = templates[y] + sigma * jax.random.normal(
-            kx, (batch, hw, hw, 3), jnp.float32)
+            kx, (batch, hw, hw, chans), jnp.float32)
         return x, y
 
     key = jax.random.PRNGKey(seed + 1000 + epoch)
