@@ -49,6 +49,7 @@ def bench_at(n_dev: int, m: int, k: int, n: int, density: float,
 
     dt = device_bench(fn, a_s, b_s)
     return {"devices": n_dev, "nnz": nnz, "seconds": dt,
+            "chunks": chunks,
             "gnnz_per_s": nnz * n / dt / 1e9,
             "gflops": 2 * nnz * n / dt / 1e9}
 
@@ -101,18 +102,26 @@ def _bench_kw():
                                                 repeats=1)
 
 
-def bench_pyfr_ring(n_dev: int, a: np.ndarray, n: int):
+def bench_pyfr_ring(n_dev: int, a: np.ndarray, n: int,
+                    chunks: int = 0):
     """PyFR operator through the ring with the library's unrolled CSR
-    kernels per block (VERDICT r1 #2): 1e-3-gated, nnz/s reported."""
+    kernels per block (VERDICT r1 #2): 1e-3-gated, nnz/s reported.
+
+    chunks=0 (auto): 4 sub-panels at d>1 so each sub-panel's ppermute
+    overlaps the next sub-panel's compute (the round-4 overlap schedule);
+    d=1 needs none (ring IS the local kernel there)."""
     m, k = a.shape
     nnz = int(np.count_nonzero(a))
     rng = np.random.default_rng(1)
     b = rng.standard_normal((k, n))
     gold = a @ b
 
+    if chunks == 0:
+        chunks = 4 if (n_dev > 1 and n % 4 == 0) else 1
     mesh = make_mesh((1, n_dev), ("dp", "mp"),
                      devices=jax.devices()[:n_dev])
-    fn = dist_spmm.ring_spmm_csr(mesh, a, n, dtype="float64")
+    fn = dist_spmm.ring_spmm_csr(mesh, a, n, dtype="float64",
+                                 chunks=chunks)
     kl = -(-k // n_dev)
     bp = np.zeros((kl * n_dev, n))
     bp[:k] = b
@@ -125,6 +134,7 @@ def bench_pyfr_ring(n_dev: int, a: np.ndarray, n: int):
 
     dt = device_bench(fn, bh, bl, **_bench_kw())
     return {"devices": n_dev, "nnz": nnz, "seconds": dt,
+            "chunks": chunks,
             "gnnz_per_s": nnz * n / dt / 1e9,
             "gflops": 2 * nnz * n / dt / 1e9}
 
