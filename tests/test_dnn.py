@@ -238,6 +238,39 @@ def test_pooling(rng, ptype):
     assert abs(dx.sum() - dy.sum()) < 1e-2
 
 
+def test_maxpool_bwd_pallas_window_bitexact(rng):
+    """The 2x2/s2 Pallas window backward (round-4 fast path) must be
+    BIT-exact vs XLA's select-and-scatter VJP, including tie routing
+    (first maximal element in row-major window order takes the
+    gradient) — quantized inputs force in-window ties."""
+    import os
+    os.environ["XSMM_POOL_WINDOW_KERNEL"] = "1"   # opt-in (measured slower
+    try:                                          # on chip; kept as the tie-
+        d = PoolingDesc(n=2, c=128, h=8, w=8,     # semantics reference)
+                        r=2, s=2, u=2, v=2, pool_type=PoolType.MAX)
+        layer = create_pooling_layer(d)
+    finally:
+        os.environ.pop("XSMM_POOL_WINDOW_KERNEL", None)
+    assert layer.bwd_kind == "pallas_window"
+    x = (np.round(rng.standard_normal((2, 8, 8, 128)) * 2) / 2
+         ).astype(np.float32)
+    dy = rng.standard_normal((2, 4, 4, 128)).astype(np.float32)
+
+    def fwd(xx):
+        return jax.lax.reduce_window(
+            xx, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            ((0, 0),) * 4)
+
+    _, vjp = jax.vjp(fwd, jnp.asarray(x))
+    want = np.asarray(vjp(jnp.asarray(dy))[0])
+    got = np.asarray(layer._bwd(jnp.asarray(dy), jnp.asarray(x)))
+    assert np.array_equal(got, want)
+    # non-qualifying shapes keep the VJP path
+    d2 = PoolingDesc(n=2, c=6, h=8, w=8, r=2, s=2, u=2, v=2,
+                     pool_type=PoolType.MAX)
+    assert create_pooling_layer(d2).bwd_kind == "vjp"
+
+
 # ----------------------------------------------------------------- bnorm ----
 
 def test_batchnorm_fwd_bwd(rng):

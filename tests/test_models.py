@@ -43,10 +43,11 @@ def test_inception_v3_forward():
     params, fwd = inception_v3(num_classes=10, width=8)
     # topology check: 3A + RA + 4B + RB + 2C = 11 inception blocks
     assert len(params["_meta"]["kinds"]) == 11
-    # graph check: 11 branch nodes = 11 params entries that are lists
-    assert sum(isinstance(p, list) for p in params["layers"]) == 11
+    # graph check: 11 branch nodes + 1 aux tap = 12 list-param entries
+    assert sum(isinstance(p, list) for p in params["layers"]) == 12
+    assert fwd.aux_loss_weights == (0.4,)
     logits = fwd(params, jnp.zeros((2, 64, 64, 3)))
-    assert logits.shape == (2, 10)
+    assert logits.shape == (2, 10)   # eval: aux tap does not exist
     assert bool(jnp.isfinite(logits).all())
 
 

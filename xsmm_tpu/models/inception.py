@@ -41,7 +41,7 @@ def _maxpool3():
             "pad": "same"}
 
 
-def inception_specs(num_classes: int, width: int) -> Tuple[List[Dict], tuple]:
+def inception_specs(num_classes: int, width: int, aux: bool = True) -> Tuple[List[Dict], tuple]:
     c = lambda v: _c(v, width)
 
     def block_a(pool_c):
@@ -101,6 +101,14 @@ def inception_specs(num_classes: int, width: int) -> Tuple[List[Dict], tuple]:
     specs.append(reduction_a())
     for mid in (c(128), c(160), c(160), c(192)):
         specs.append(block_b(mid))
+    if aux:
+        # auxiliary classifier after the last 17x17 block (Szegedy et al.
+        # 2015 §4: one aux head on the 17x17 stage, loss weight 0.4; BN in
+        # the head is approximated by the generic tap — the reference zoo
+        # carries no inception-v3, this model is a bonus member)
+        specs.append({"type": "aux_head", "classes": num_classes,
+                      "weight": 0.4, "pool_r": 5, "pool_stride": 3,
+                      "conv_k": c(128), "fc": c(768), "dropout": 0.0})
     specs.append(reduction_b())
     specs += [block_c(), block_c()]
     specs += [{"type": "global_avg_pool"},
@@ -110,8 +118,8 @@ def inception_specs(num_classes: int, width: int) -> Tuple[List[Dict], tuple]:
 
 def inception_v3(num_classes: int = 1000, width: int = 32, seed: int = 0,
                  input_shape: Tuple[int, int, int, int] = (8, 64, 64, 3),
-                 dtype: str = "float32"):
-    specs, kinds = inception_specs(num_classes, width)
+                 dtype: str = "float32", aux: bool = True):
+    specs, kinds = inception_specs(num_classes, width, aux=aux)
     init, graph = build_graph(specs, input_shape, dtype=dtype, seed=seed)
     params = {"layers": init,
               "_meta": {"model": "inception_v3", "width": width,
