@@ -91,10 +91,16 @@ def run() -> dict:
         # probe="elem": the kernel is an XLA-opaque custom call, so a
         # single-element feedback is a safe dependency; the default "sum"
         # probe would re-read the full output every iteration (+33% bytes).
-        dt = device_bench(kern._packed_fn, *ops,
-                          iters=40, base_iters=8, probe="elem")
+        # stats=True: the headline carries its own per-repeat spread so
+        # round-over-round drift is separable from tunnel variance
+        # (VERDICT r4 weak #3: -3.3% then -0.9% monotone, no spread).
+        dt, stats = device_bench(kern._packed_fn, *ops,
+                                 iters=40, base_iters=8, probe="elem",
+                                 stats=True)
+        spread = round(stats["spread"], 3)
     else:
         dt, _ = xt.timer.bench(kern._packed_fn, *ops, warmup=1, iters=3)
+        spread = None
 
     flops = 2 * m * n * k * batch
     nbytes = (m * k + k * n + m * n) * batch * 8  # f64-equivalent I/O
@@ -133,6 +139,7 @@ def run() -> dict:
         "detail": {
             "batch": batch,
             "seconds_per_call": dt,
+            "spread": spread,
             "achieved_gbps": round(gbps, 1),
             "roofline_gflops": round(roofline, 1),
             "roofline_frac": round(gflops / roofline, 3),

@@ -179,6 +179,18 @@ def test_front_memo_hit_counts_and_generation():
         return
     assert reg.stats.ncache_hit == h0 + 1
     assert len(reg.front_memo) >= 1
+    # per-kernel hit counts survive the memo fast path (VERDICT r4 #7:
+    # previously only bucket stats advanced, so get_kernel_info reported
+    # hits ~0 in real runs; the reference's counters are meaningful,
+    # libxsmm_main.c:1969)
+    rec = next(r for r in xt.registry_kernels()
+               if (r["m"], r["n"], r["k"]) == (19, 19, 19))
+    hits_before = rec["hits"]
+    for _ in range(5):
+        xt.smmdispatch(19, 19, 19, batch=8, beta=0.0)
+    rec = next(r for r in xt.registry_kernels()
+               if (r["m"], r["n"], r["k"]) == (19, 19, 19))
+    assert rec["hits"] == hits_before + 5
     prev = xt.get_config().gemm_threshold
     try:
         xt.set_config(gemm_threshold=prev)  # bumps the generation

@@ -245,6 +245,47 @@ def test_spmdm_bf16_ell(rng):
     xt.check(ab @ bb, c, 1e-3, what="spmdm bf16 ell")
 
 
+@pytest.mark.parametrize("strategy", ["dense", "ell"])
+@pytest.mark.parametrize("in_dtype", ["float32", "bfloat16"])
+def test_spmdm_trans_beta_matrix(rng, strategy, in_dtype):
+    """Full transa x transb x transc x beta matrix
+    (libxsmm_spmdm_compute_*_thread signature, libxsmm_spmdm.h:106-127:
+    transa at slice time + echoed at compute, transb/transc/beta at
+    compute; beta in {0,1}, C always f32)."""
+    import itertools
+    import jax.numpy as jnp
+    m, k, n = 16, 24, 32
+    h = spmdm.spmdm_init(m, n, k, in_dtype=in_dtype, strategy=strategy)
+    a = make_operator(rng, m, k, 0.2).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c0 = rng.standard_normal((m, n)).astype(np.float32)
+    if in_dtype == "bfloat16":
+        ag = np.asarray(a.astype(jnp.bfloat16), np.float64)
+        bg = np.asarray(b.astype(jnp.bfloat16), np.float64)
+        tol = 1e-2
+    else:
+        ag, bg, tol = np.asarray(a, np.float64), np.asarray(b, np.float64), 1e-3
+    for ta, tb, tc, beta in itertools.product(
+            (False, True), (False, True), (False, True), (0, 1)):
+        sl = h.create_sparse_slice(a.T if ta else a, transa=ta)
+        gold = ag @ bg
+        if tc:
+            gold = gold.T
+        if beta:
+            gold = gold + np.asarray(c0.T if tc else c0, np.float64)
+        out = h.compute(sl, b.T if tb else b, transa=ta, transb=tb,
+                        transc=tc, beta=beta,
+                        c=(c0.T if tc else c0) if beta else None)
+        assert out.dtype == jnp.float32
+        xt.check(gold, np.asarray(out), tol,
+                 what=f"spmdm {strategy}/{in_dtype} "
+                      f"ta={ta} tb={tb} tc={tc} beta={beta}")
+    with pytest.raises(ValueError):  # mismatched transa echo
+        h.compute(h.create_sparse_slice(a, transa=False), b, transa=True)
+    with pytest.raises(ValueError):  # unsupported beta
+        h.compute(h.create_sparse_slice(a), b, beta=0.5, c=c0)
+
+
 def test_reference_pyfr_operator():
     """Validate on the reference's own canonical PyFR matrix when present
     (samples/pyfr/test.sh runs mats/p3/hex/m6-sp.mtx)."""

@@ -53,13 +53,19 @@ from .pallas_util import round_up
 
 @dataclasses.dataclass
 class SparseSlice:
-    """The createSparseSlice output (ELL-packed or dense pass-through)."""
+    """The createSparseSlice output (ELL-packed or dense pass-through).
+
+    ``transa`` records the layout A was supplied in (libxsmm passes the
+    same flag again at compute time, libxsmm_spmdm.h:91,109); the slice is
+    stored normalized to logical [M,K], so compute only validates the echo.
+    """
 
     kind: str                      # "dense" | "ell"
-    a: Optional[jax.Array] = None  # dense [M,K]
+    a: Optional[jax.Array] = None  # dense [M,K] (logical, transa-normalized)
     values: Optional[jax.Array] = None   # [M, R]
     cols: Optional[jax.Array] = None     # [M, R] int32
     nnz: int = 0
+    transa: bool = False
 
 
 class SpmdmHandle:
@@ -75,7 +81,9 @@ class SpmdmHandle:
         # block sizes for parity with reference (bm/bk/bn, spmdm.h:42-60);
         # on TPU blocking is XLA's job, these are informational
         self.bm, self.bk, self.bn = 128, 128, 128
-        self._dense_fn = jax.jit(self._dense_compute)
+        self._dense_fn = jax.jit(self._dense_compute,
+                                 static_argnames=("transb", "transc",
+                                                  "has_beta"))
         self._ell_fns = {}
 
     # Measured ELL-vs-dense crossover (v5e, M=K=1024 N=2048 f32): the
@@ -88,8 +96,14 @@ class SpmdmHandle:
     ELL_CROSSOVER = 0.005
 
     # -- phase 1: createSparseSlice -------------------------------------------
-    def create_sparse_slice(self, a, tol: float = 0.0) -> SparseSlice:
+    def create_sparse_slice(self, a, tol: float = 0.0,
+                            transa: bool = False) -> SparseSlice:
         """Convert dense A [M,K] into the compute representation.
+
+        ``transa=True`` means A is supplied as [K,M] column-major-style and
+        the logical operand is its transpose (the reference's 'T' char,
+        libxsmm_spmdm.h:91); normalization happens here so every compute
+        strategy sees logical [M,K].
 
         The ELL pack has no Python row loop: a single-pass C++ pack
         (native/spmdm.cpp, ~1ms at 1024x1024) with a vectorized numpy
@@ -98,6 +112,8 @@ class SpmdmHandle:
         measured crossover; otherwise it falls back to the dense
         pass-through.
         """
+        if transa:
+            a = jnp.asarray(a).T
         if self.strategy == "dense":
             a = jnp.asarray(a, self.in_dtype)
             if tol:
@@ -105,7 +121,7 @@ class SpmdmHandle:
             # keep nnz as a device scalar: an eager int() here would block
             # on a host round-trip (~25ms tunneled) in the per-step path
             nnz = jnp.count_nonzero(a)
-            return SparseSlice(kind="dense", a=a, nnz=nnz)
+            return SparseSlice(kind="dense", a=a, nnz=nnz, transa=transa)
 
         if self.in_dtype == jnp.bfloat16:
             # reference bf16 slice contract: the input IS bf16; round
@@ -128,11 +144,13 @@ class SpmdmHandle:
                     np.abs(a_np) > tol, a_np, 0)
                 return SparseSlice(kind="dense",
                                    a=jnp.asarray(nz, self.in_dtype),
-                                   nnz=int(np.count_nonzero(nz)))
+                                   nnz=int(np.count_nonzero(nz)),
+                                   transa=transa)
             vals, cols, nnz_total, r = native_bridge.ell_pack_native(
                 a_np, float(tol), r=r)  # r precomputed: skip the re-probe
             return SparseSlice(kind="ell", values=jnp.asarray(vals),
-                               cols=jnp.asarray(cols), nnz=nnz_total)
+                               cols=jnp.asarray(cols), nnz=nnz_total,
+                               transa=transa)
 
         if tol:
             a_np = np.where(np.abs(a_np) > tol, a_np, 0)
@@ -142,7 +160,7 @@ class SpmdmHandle:
         if self.strategy == "auto" and r > self.ELL_CROSSOVER * self.k:
             return SparseSlice(kind="dense",
                                a=jnp.asarray(a_np, self.in_dtype),
-                               nnz=int(counts.sum()))
+                               nnz=int(counts.sum()), transa=transa)
         # numpy fallback: left-pack with a computed-position scatter
         # (row-major np.nonzero order gives position = global index minus
         # the row's start) — ~9ms at 1024x1024 vs 25ms for a stable-argsort
@@ -159,40 +177,91 @@ class SpmdmHandle:
         cols = np.zeros((self.m, r), np.int32)
         cols[rows, pos] = colsrc
         return SparseSlice(kind="ell", values=jnp.asarray(vals),
-                           cols=jnp.asarray(cols), nnz=nnz_total)
+                           cols=jnp.asarray(cols), nnz=nnz_total,
+                           transa=transa)
 
     # -- phase 2: compute ------------------------------------------------------
-    def _dense_compute(self, a, b):
+    def _dense_compute(self, a, b, c, *, transb, transc, has_beta):
+        bb = b.T if transb else b
+        dot_dtype = self.in_dtype
+        if self.in_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+            # CPU DotThunk lacks bf16 x bf16 = f32 for the non-canonical
+            # dots the trans flags produce; computing in f32 from the
+            # bf16-rounded inputs is bit-identical contract semantics
+            # (bf16 values are exact in f32, accumulation is f32 either
+            # way).  TPU keeps the native bf16 MXU pass.
+            a = a.astype(jnp.bfloat16).astype(jnp.float32)
+            bb = bb.astype(jnp.bfloat16).astype(jnp.float32)
+            dot_dtype = jnp.float32
         prec = (jax.lax.Precision.HIGHEST
                 if self.in_dtype == jnp.float32 else None)
-        return jnp.matmul(a.astype(self.in_dtype), b.astype(self.in_dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
+        out = jnp.matmul(a.astype(dot_dtype), bb.astype(dot_dtype),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
+        if transc:
+            out = out.T
+        if has_beta:
+            out = out + c.astype(jnp.float32)
+        return out
 
-    def _ell_compute_fn(self, r: int):
-        if r not in self._ell_fns:
+    def _ell_compute_fn(self, r: int, transb: bool, transc: bool,
+                        has_beta: bool):
+        key = (r, transb, transc, has_beta)
+        if key not in self._ell_fns:
             @jax.jit
-            def fn(values, cols, b):
+            def fn(values, cols, b, c):
+                bl = b.T if transb else b   # logical [K, N]
                 def body(j, acc):
                     cj = jax.lax.dynamic_index_in_dim(cols, j, 1, False)
                     vj = jax.lax.dynamic_index_in_dim(values, j, 1, True)
-                    rows = jnp.take(b, cj, axis=0)              # [M, N]
+                    rows = jnp.take(bl, cj, axis=0)             # [M, N]
                     # bf16 B promotes to the f32 accumulator in-register
                     # (the reference's bf16->fp32 upconvert-accumulate,
                     # libxsmm_spmdm.h:115-127) — no separate B pass
                     return acc + vj * rows.astype(jnp.float32)
-                acc0 = jnp.zeros((self.m, b.shape[1]), jnp.float32)
-                return jax.lax.fori_loop(0, r, body, acc0)
-            self._ell_fns[r] = fn
-        return self._ell_fns[r]
+                if has_beta:   # accumulate into C (in its LOGICAL layout)
+                    acc0 = (c.T if transc else c).astype(jnp.float32)
+                else:
+                    acc0 = jnp.zeros((self.m, bl.shape[1]), jnp.float32)
+                out = jax.lax.fori_loop(0, r, body, acc0)
+                return out.T if transc else out
+            self._ell_fns[key] = fn
+        return self._ell_fns[key]
 
-    def compute(self, slice_: SparseSlice, b):
-        """C = A_slice @ B (libxsmm_spmdm_compute_*_thread analog)."""
+    def compute(self, slice_: SparseSlice, b, transa: Optional[bool] = None,
+                transb: bool = False, transc: bool = False,
+                beta: float = 0.0, c=None):
+        """C = A_slice @ B [+ beta*C] (libxsmm_spmdm_compute_*_thread analog).
+
+        ``transa`` echoes the slice-time flag (the reference passes it to
+        both phases, libxsmm_spmdm.h:106-117); the slice is already
+        normalized, so a mismatching echo is an error, not a re-transpose.
+        ``transb``: B is supplied [N,K], logical operand is B^T.
+        ``transc``: C is produced (and read, under beta=1) as [N,M].
+        ``beta`` in {0, 1} (the reference supports exactly these,
+        libxsmm_spmdm.c kernel dispatch); alpha is ignored like the
+        reference (libxsmm_spmdm.h:105 note).  Output is always f32
+        (the reference's C is float* for both fp32 and bf16 variants).
+        """
+        if transa is not None and bool(transa) != slice_.transa:
+            raise ValueError(
+                f"transa={transa} does not match the slice-time flag "
+                f"({slice_.transa}); pass transa to create_sparse_slice")
+        if beta not in (0, 1, 0.0, 1.0):
+            raise ValueError(f"spmdm supports beta in {{0,1}}, got {beta}")
+        has_beta = bool(beta)
+        if has_beta and c is None:
+            raise ValueError("beta=1 requires c")
         if slice_.kind == "dense":
-            return self._dense_fn(slice_.a, b)
-        fn = self._ell_compute_fn(int(slice_.values.shape[1]))
+            return self._dense_fn(slice_.a, b,
+                                  c if has_beta else jnp.zeros((), jnp.float32),
+                                  transb=transb, transc=transc,
+                                  has_beta=has_beta)
+        fn = self._ell_compute_fn(int(slice_.values.shape[1]),
+                                  transb, transc, has_beta)
         return fn(slice_.values, slice_.cols,
-                  jnp.asarray(b).astype(self.in_dtype))
+                  jnp.asarray(b).astype(self.in_dtype),
+                  c if has_beta else jnp.zeros((), jnp.float32))
 
     def __call__(self, a, b, tol: float = 0.0):
         return self.compute(self.create_sparse_slice(a, tol), b)
