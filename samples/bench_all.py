@@ -755,6 +755,21 @@ DRIFT_FIELDS = {
 # round's investigation and ride into the artifact next to the flag.
 # documentation/perf_notes.md carries the full studies.
 DRIFT_RESOLUTIONS = {
+    # r4 flags, resolved round 5 (scripts/exp_drift_r5.py, perf_notes
+    # "Inter-session drift study"): both kernels' code paths are untouched
+    # since r3 (git: blocked_gemm.py/batchnorm.py have no r4 commits) and
+    # the bench protocol is identical, so the flagged moves are session-
+    # level tunnel variance, not regressions.  N=5 re-measure (r5):
+    # blocked_gemm median 191.7 TF [183.9, 192.8] — ABOVE r3's 188.7;
+    # r4's 177.4 was a low session.  fusedbn median 963 GB/s [955, 998]
+    # with r4's 974.9 inside the envelope and r3's 1060.1 a high session
+    # 6% above today's max; the counted-bytes model for this row (3
+    # full-array passes) sits above the measured mixed-traffic wire, so
+    # its absolute GB/s is a model figure and its job is drift tracking.
+    "blocked_gemm_tflops": "session variance; r5 N=5 median 191.7 "
+                           "[183.9,192.8] >= r3 level, code untouched",
+    "fusedbn_gbps": "session variance; r5 N=5 median 963 [955,998], "
+                    "r4 inside envelope, code+protocol unchanged since r3",
 }
 
 
