@@ -188,6 +188,22 @@ def config2_pyfr_csr():
     results = {"measured_read_gbps": round(bw_r / 1e9, 1),
                "measured_write_gbps": round(bw_w / 1e9, 1),
                "operators": []}
+    if xt.platform.is_tpu():
+        # XLA-native mixed-traffic cross-check (VERDICT r4 weak #5): a
+        # 2r:1w loop-carried add chain, 403MB arrays, no Pallas — the
+        # wire ceiling measured through XLA's own emitters (~650 GB/s
+        # aggregate; scripts/exp_wire_xla.py has the full ratio sweep,
+        # perf_notes "HBM mixed-ratio study" addendum)
+        Mx, Nx = 1536, 65536
+        xw = jax.random.normal(jax.random.PRNGKey(0), (Mx, Nx), jnp.float32)
+        yw = jax.random.normal(jax.random.PRNGKey(1), (Mx, Nx), jnp.float32)
+        dtx, infox = device_bench(jax.jit(lambda x, y: x + y), xw, yw,
+                                  feedback=lambda o, a: (o, a[1]),
+                                  probe="elem", stats=True)
+        results["wire_crosscheck_xla"] = {
+            "pattern": "2r:1w xla add chain, 403MB arrays",
+            "aggregate_gbps": round(3 * Mx * Nx * 4 / dtx / 1e9, 1),
+            "spread": round(infox["spread"], 3)}
     rng = np.random.default_rng(0)
     for path in ref:
         if not os.path.exists(path):
