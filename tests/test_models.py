@@ -183,6 +183,24 @@ def test_train_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+def test_train_epoch_scan_learns_and_shards():
+    """Scan-fused epoch (one jit per epoch, VERDICT r4 item #3's noise
+    fix): must learn the template task, advance step/epoch exactly like
+    the per-batch loop, and run sharded on the 8-device dp mesh."""
+    from xsmm_tpu.models import lenet
+    from xsmm_tpu.models.engine import template_batch_fn
+    params, fwd = lenet(num_classes=10)
+    mesh = make_mesh((8, 1), ("dp", "mp"))
+    eng = MLEngine(params, fwd, SolverConfig(lr=0.002), mesh=mesh)
+    bf = template_batch_fn(16, hw=28, classes=10, chans=1)
+    first = eng.train_epoch_scan(4, bf, 16, verbose=False)
+    for _ in range(8):
+        last = eng.train_epoch_scan(4, bf, 16, verbose=False)
+    assert eng.step == 36 and eng.epoch == 9
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"], (first["loss"], last["loss"])
+
+
 def test_checkpoint_resume_roundtrip():
     params, fwd = tiny_resnet()
     mesh = make_mesh((8, 1), ("dp", "mp"))

@@ -125,6 +125,8 @@ class MLEngine:
         self.state = dict(init_state) if self._stateful else None
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        # compiled scan-epoch cache: (id(batch_fn), n_batches) -> jitted fn
+        self._scan_cache: Dict[Any, Callable] = {}
 
     @staticmethod
     def _trainable(params):
@@ -233,6 +235,80 @@ class MLEngine:
             # snapshots at epochs 30/60/80 alongside the rolling checkpoint)
             if self.epoch in self.solver.step_epochs:
                 self.checkpoint(tag=f"epoch{self.epoch}")
+        return {"images_per_s": ips, "loss": float(loss_val), "lr": lr}
+
+    def train_epoch_scan(self, n_batches: int, batch_fn: Callable,
+                         batch_size: int, verbose: bool = True,
+                         data_seed: int = 0):
+        """One epoch as a SINGLE jitted ``lax.scan`` over on-device batches.
+
+        ``batch_fn(key) -> (x NHWC, y int32)`` must be traceable (device
+        data generation; e.g. `synthetic_batch_fn`/`template_batch_fn`).
+        Each scan step folds the step counter into the data key, builds
+        its batch in-graph, and applies the train step — the whole epoch
+        is ONE dispatch, so on tunneled setups the per-step ~25ms HTTP
+        round trip (which dominated 40-dispatch epochs and produced the
+        r4 zoo spreads of 0.17-0.20) is paid once per epoch instead of
+        per batch.  The reference's epoch loop semantics are unchanged
+        (Engine.cpp:516-531 runs minibatches back-to-back; the scan is
+        the jit-native spelling).
+        """
+        lr = _schedule(self.solver, self.epoch)
+        ckey = (id(batch_fn), n_batches)
+        if ckey not in self._scan_cache:
+            step_impl = self._train_step_impl
+            dsh = self._data_sharding
+
+            def make_body(lr_):
+                def body(carry, _):
+                    params, mom, state, step = carry
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(0xDA7A),
+                                           jnp.uint32(data_seed)), step)
+                    x, y = batch_fn(key)
+                    x = jax.lax.with_sharding_constraint(x, dsh)
+                    y = jax.lax.with_sharding_constraint(y, dsh)
+                    p2, m2, s2, lval = step_impl(params, mom, state, x, y,
+                                                 lr_, step)
+                    return (p2, m2, s2, step + 1), lval
+                return body
+
+            @jax.jit
+            def epoch_fn(params, mom, state, step0, lr_):
+                (p, m, s, _), losses = jax.lax.scan(
+                    make_body(lr_), (params, mom, state, step0), None,
+                    length=n_batches)
+                return p, m, s, losses[-1]
+
+            self._scan_cache[ckey] = epoch_fn
+        epoch_fn = self._scan_cache[ckey]
+        if not getattr(self, "_scan_placed", False):
+            # pin train state to its steady-state placement BEFORE the
+            # first trace: host-numpy inputs otherwise compile once, and
+            # the returned committed device arrays trigger a second
+            # ~80s compile on epoch 1 (measured: a "119 img/s" epoch in
+            # an 80k img/s run)
+            self.params = jax.device_put(self.params, self._repl)
+            self.momentum = jax.device_put(self.momentum, self._repl)
+            if self._stateful:
+                self.state = jax.device_put(self.state, self._repl)
+            self._scan_placed = True
+        t0 = time.perf_counter()
+        with self.mesh:
+            out = epoch_fn(self.params, self.momentum, self.state,
+                           jnp.uint32(self.step), jnp.float32(lr))
+            self.params, self.momentum, self.state, loss_val = out
+        jax.block_until_ready(loss_val)
+        dt = time.perf_counter() - t0
+        self.step += n_batches
+        self.epoch += 1
+        n_images = n_batches * batch_size
+        ips = n_images / dt
+        if verbose:
+            print(f"epoch {self.epoch - 1}: {ips:.1f} images/s "
+                  f"({n_images} images, {dt:.2f}s, scan-fused)")
+        if self.checkpoint_dir:
+            self.checkpoint()
         return {"images_per_s": ips, "loss": float(loss_val), "lr": lr}
 
     def validate(self, batches) -> Dict[str, float]:
@@ -352,6 +428,35 @@ def device_template_batches(n_batches: int, batch: int, hw: int = 32,
     key = jax.random.PRNGKey(seed + 1000 + epoch)
     for i in range(n_batches):
         yield make(jax.random.fold_in(key, i))
+
+
+def synthetic_batch_fn(batch: int, hw: int = 32, classes: int = 10,
+                       chans: int = 3) -> Callable:
+    """Traceable per-step batch maker for ``train_epoch_scan``:
+    key -> (x NHWC, y int32), generated in-graph."""
+    def make(key):
+        kx, ky = jax.random.split(key)
+        x = jax.random.normal(kx, (batch, hw, hw, chans), jnp.float32)
+        y = jax.random.randint(ky, (batch,), 0, classes, jnp.int32)
+        return x, y
+    return make
+
+
+def template_batch_fn(batch: int, hw: int = 32, classes: int = 10,
+                      seed: int = 0, sigma: float = 0.6,
+                      chans: int = 3) -> Callable:
+    """Traceable LEARNABLE batch maker (template task) for
+    ``train_epoch_scan``: the class templates are baked as constants."""
+    templates = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (classes, hw, hw, chans), jnp.float32)
+
+    def make(key):
+        kx, ky = jax.random.split(key)
+        y = jax.random.randint(ky, (batch,), 0, classes, jnp.int32)
+        x = templates[y] + sigma * jax.random.normal(
+            kx, (batch, hw, hw, chans), jnp.float32)
+        return x, y
+    return make
 
 
 def device_synthetic_batches(n_batches: int, batch: int, hw: int = 32,
