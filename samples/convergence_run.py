@@ -30,7 +30,7 @@ import jax
 import xsmm_tpu as xt
 from xsmm_tpu.models import MLEngine, SolverConfig, googlenet, lenet, resnet
 from xsmm_tpu.models.engine import (device_template_batches,
-                                    template_batches)
+                                    template_batch_fn, template_batches)
 from xsmm_tpu.parallel.mesh import make_mesh
 
 # model builders for the convergence zoo (VERDICT r3 #7: more than one
@@ -49,7 +49,19 @@ MODEL_ZOO = {
     # GoogLeNet v1 WITH the aux-loss taps (multi-loss training path)
     "googlenet": (lambda dt, w, b, hw, cl: googlenet(
         num_classes=cl, width=w, input_shape=(b, hw, hw, 3), dtype=dt),
-        64, 3, 100, 0.01),
+        64, 3, 100, 5e-3),
+}
+
+# Un-normalized v1 needs the slow-start protocol (the reference trains it
+# ~100k ImageNet iterations, googlenet/v1/solver.prototxt): many short
+# scan-fused epochs at lr 5e-3/poly.  Swept on-chip (r5): loss
+# 7.38 -> 0.73 over 100x40 batches; per-batch dispatch at this epoch
+# count would be all tunnel latency, so these models train via
+# train_epoch_scan and validate every val_every epochs with
+# device_template_batches (the SAME PRNGKey templates template_batch_fn
+# bakes — the host numpy generator is a different task).
+SCAN_PROTOCOL = {
+    "googlenet": {"epochs": 100, "batches_per_epoch": 40, "val_every": 10},
 }
 
 
@@ -57,6 +69,8 @@ def run_one(dtype: str, epochs: int, width: int, batch: int,
             model: str = "resnet18", sigma: float = 1.5,
             batches_per_epoch: int = 20):
     build, hw, chans, classes, lr = MODEL_ZOO[model]
+    if model in SCAN_PROTOCOL:
+        return run_one_scan(dtype, width, batch, model, sigma)
     params, fwd = build(dtype, width, batch, hw, classes)
     solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs,
                           weight_decay=1e-4)
@@ -91,6 +105,48 @@ def run_one(dtype: str, epochs: int, width: int, batch: int,
     return {"dtype": dtype, "epochs": epochs_out, "converged": bool(ok),
             "model": f"{model}/width{width}", "batch": batch,
             "classes": classes, "platform": xt.platform.backend()}
+
+
+def run_one_scan(dtype: str, width: int, batch: int, model: str,
+                 sigma: float = 1.5):
+    """Slow-start protocol: many scan-fused epochs (SCAN_PROTOCOL)."""
+    proto = SCAN_PROTOCOL[model]
+    build, hw, chans, classes, lr = MODEL_ZOO[model]
+    epochs, bpe = proto["epochs"], proto["batches_per_epoch"]
+    params, fwd = build(dtype, width, batch, hw, classes)
+    solver = SolverConfig(lr=lr, lr_policy="poly", max_epochs=epochs,
+                          weight_decay=1e-4)
+    ndev = len(jax.devices())
+    eng = MLEngine(params, fwd, solver, mesh=make_mesh((ndev, 1),
+                                                       ("dp", "mp")))
+    bf = template_batch_fn(batch, hw=hw, classes=classes, sigma=sigma,
+                           chans=chans)
+    epochs_out = []
+    for ep in range(epochs):
+        stats = eng.train_epoch_scan(bpe, bf, batch, verbose=False,
+                                     data_seed=ep)
+        row = {"epoch": ep, "loss": stats["loss"],
+               "images_per_s": stats["images_per_s"]}
+        if ep % proto["val_every"] == 0 or ep == epochs - 1:
+            # held-out noise + SAME PRNGKey templates as the batch fn
+            vit = device_template_batches(
+                4, batch, hw=hw, classes=classes, sigma=sigma,
+                epoch=5000 + ep, chans=chans)
+            val = eng.validate(vit)
+            row.update(val_top1=val["acc"], val_top5=val["acc5"],
+                       val_loss=val["loss"])
+            print(f"[{dtype}] epoch {ep}: loss {row['loss']:.4f} "
+                  f"val top1 {row['val_top1']:.3f} "
+                  f"top5 {row['val_top5']:.3f} "
+                  f"{row['images_per_s']:.0f} img/s", flush=True)
+        epochs_out.append(row)
+    first, last = epochs_out[0], epochs_out[-1]
+    ok = (last["loss"] < 0.6 * first["loss"]
+          and last["val_top1"] >= 3.0 / classes)
+    return {"dtype": dtype, "epochs": epochs_out, "converged": bool(ok),
+            "model": f"{model}/width{width}", "batch": batch,
+            "classes": classes, "protocol": "scan_fused",
+            "platform": xt.platform.backend()}
 
 
 def main():

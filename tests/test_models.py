@@ -101,13 +101,22 @@ def test_googlenet_aux_heads_train():
                 + 0.3 * softmax_xent(a2, y))
 
     g = jax.grad(loss)({"layers": params["layers"]})
-    aux_param_lists = [p for p in g["layers"] if isinstance(p, list)]
-    # taps are the 2nd and 6th list nodes (after 4a / 4d); their fc grads
-    # must be nonzero
-    tap_grads = [aux_param_lists[i] for i in (1, 5)]
+    # identify the two taps structurally: the list nodes whose final
+    # leaf is a (*, classes) fc weight (inception modules end in conv w)
+    tap_grads = [p for p in g["layers"] if isinstance(p, list)
+                 and jax.tree_util.tree_leaves(p)[-1].shape[-1] == 10]
+    assert len(tap_grads) == 2
     for tg in tap_grads:
         leaves = jax.tree_util.tree_leaves(tg)
         assert leaves and any(float(jnp.abs(l).max()) > 0 for l in leaves)
+    # zero-init heads (the r5 convergence recipe): at init the loss
+    # gradient reaches ONLY the classifier fcs (trunk grads are exactly
+    # zero until the first update makes the heads nonzero — the
+    # linear-probe-first warmup that lets un-normalized v1 train)
+    trunk_grads = [p for p in g["layers"] if isinstance(p, list)
+                   and jax.tree_util.tree_leaves(p)[-1].shape[-1] != 10]
+    assert all(float(jnp.abs(l).max()) == 0
+               for tg in trunk_grads for l in jax.tree_util.tree_leaves(tg))
     # engine trains end-to-end with the multi-loss
     mesh = make_mesh((8, 1), ("dp", "mp"))
     eng = MLEngine(params, fwd, SolverConfig(lr=0.01, lr_policy="fixed"),

@@ -90,14 +90,33 @@ def flatten(x):
 # ---------------------------------------------------------------------------
 
 
-def _he_conv(rng: np.random.Generator, r, s, cin, cout, dtype):
+def _conv_init(rng: np.random.Generator, r, s, cin, cout, dtype,
+               scheme: str = "he"):
     # numpy init: one eager jax.random compile per distinct shape costs
     # ~0.5s/layer on CPU; init determinism only needs the seeded Generator.
     # Master weights stay f32 regardless of compute dtype (the handles cast
     # to their descriptor dtype per call — mixed-precision training keeps
     # full-precision parameters, the reference's bf16 paths do the same).
+    #
+    # scheme="he" (default): N(0, 2/fan_in) — right for BN-normalized nets
+    # (resnet).  scheme="xavier": the Caffe/GxM XavierFiller the reference
+    # prototxts request for un-normalized nets (googlenet v1
+    # train_val_flat.prototxt weight_filler {type:"XAVIER"}): uniform on
+    # [-sqrt(3/fan_in), +sqrt(3/fan_in)], variance 1/fan_in.  Neither
+    # scheme alone trains v1 at depth (measured, r5): He's factor-2
+    # compounds through 20+ un-normalized conv+maxpool stages to initial
+    # loss ~35 (logit blow-up -> the first SGD steps crush the weight
+    # scale -> plateau at uniform logits), while xavier's activations
+    # VANISH by the classifier (pooled-feature std ~0.01, gradients
+    # ~1e-4 -> frozen).  The recipe that converges is He trunk +
+    # zero-init classifier FCs (init:"zero" below) — loss starts exactly
+    # at the weighted uniform ln(C) with no blow-up to recover from.
     fan_in = max(r * s * cin, 1)
-    w = rng.standard_normal((r, s, cin, cout)) * np.sqrt(2.0 / fan_in)
+    if scheme == "xavier":
+        lim = np.sqrt(3.0 / fan_in)
+        w = rng.uniform(-lim, lim, (r, s, cin, cout))
+    else:
+        w = rng.standard_normal((r, s, cin, cout)) * np.sqrt(2.0 / fan_in)
     return jnp.asarray(w.astype(np.float32))
 
 
@@ -185,7 +204,8 @@ class Graph:
                         pad_h=ph, pad_w=pw, in_dtype=self.dtype,
                         out_dtype=self.dtype, fuse_ops=fuse)
         layer = create_conv_layer(desc)
-        p = {"w": _he_conv(self._rng, r, s, c, k, self.dtype)}
+        p = {"w": _conv_init(self._rng, r, s, c, k, self.dtype,
+                          spec.get("init", "he"))}
         if spec.get("bias"):
             p["b"] = jnp.zeros((k,), jnp.float32)
 
@@ -211,7 +231,8 @@ class Graph:
         bdesc = BnDesc(n=n, c=k, h=desc.out_h, w=desc.out_w, fuse=bn_fuse,
                        dtype=self.dtype)
         bn = create_fusedbatchnorm(bdesc)
-        p = {"w": _he_conv(self._rng, r, s, c, k, self.dtype),
+        p = {"w": _conv_init(self._rng, r, s, c, k, self.dtype,
+                          spec.get("init", "he")),
              "gamma": jnp.ones((k,), jnp.float32),
              "beta": jnp.zeros((k,), jnp.float32)}
         if spec.get("bias"):
@@ -287,9 +308,15 @@ class Graph:
         desc = FCDesc(n=n, c=cin, k=k, in_dtype=self.dtype,
                       out_dtype=self.dtype, fuse_ops=fuse)
         layer = create_fullyconnected_layer(desc)
-        p = {"w": jnp.asarray(
-            (self._rng.standard_normal((cin, k)) * np.sqrt(1.0 / cin)
-             ).astype(np.float32))}  # f32 master weights (see _he_conv)
+        # init "zero" (classifier heads of un-normalized nets): logits
+        # start exactly uniform, the head learns as a linear probe first,
+        # and no early step has to crush an out-of-scale logit blow-up
+        if spec.get("init") == "zero":
+            w0 = np.zeros((cin, k))
+        else:
+            w0 = self._rng.standard_normal((cin, k)) * np.sqrt(1.0 / cin)
+        p = {"w": jnp.asarray(w0.astype(np.float32))}  # f32 master
+        # weights (see _conv_init)
         if spec.get("bias", True):
             p["b"] = jnp.zeros((k,), jnp.float32)
         relu = bool(spec.get("relu"))
@@ -379,10 +406,12 @@ class Graph:
             {"type": "pooling", "op": "avg", "r": pr,
              "stride": ps, "pad": "valid"},
             {"type": "conv", "k": int(spec.get("conv_k", 128)), "r": 1,
-             "bias": True, "relu": True},
+             "bias": True, "relu": True,
+             "init": spec.get("init", "he")},
             {"type": "fc", "k": int(spec.get("fc", 1024)), "relu": True},
             {"type": "dropout", "rate": float(spec.get("dropout", 0.7))},
-            {"type": "fc", "k": classes},
+            {"type": "fc", "k": classes,
+             "init": spec.get("head_init", "he")},
         ]
         sub_nodes, sub_params, out = self._build(sub_specs, shape)
         assert out == (shape[0], classes), out

@@ -31,7 +31,13 @@ def _c(v: int, width: int) -> int:
 
 
 def _conv(k: int, r: int, stride: int = 1) -> Dict[str, Any]:
-    # v1 convs carry a bias (no BN to absorb it) and a fused ReLU
+    # v1 convs carry a bias (no BN to absorb it) and a fused ReLU.
+    # Trunk init stays He: the prototxt requests XavierFiller, but at
+    # this depth without BN xavier activations vanish by the classifier
+    # (pooled std ~0.01 -> frozen; dnn/layers._conv_init has the r5
+    # measurement).  He keeps the features variance-preserving; the
+    # classifier FCs are zero-init instead so the loss starts exactly
+    # at uniform ln(C) with no He logit blow-up to recover from.
     return {"type": "conv", "k": k, "r": r, "stride": stride,
             "bias": True, "relu": True}
 
@@ -49,7 +55,7 @@ def googlenet_specs(num_classes: int, width: int,
         # loss1/loss2 branch channel widths from the prototxt, scaled
         return {"type": "aux_head", "classes": num_classes, "weight": 0.3,
                 "pool_r": 5, "pool_stride": 3, "conv_k": c(128),
-                "fc": c(1024), "dropout": 0.7}
+                "fc": c(1024), "dropout": 0.7, "head_init": "zero"}
 
     def inception(c1, c3r, c3, c5r, c5, pp):
         """One v1 module: 1x1 / 1x1->3x3 / 1x1->5x5 / pool->1x1 concat."""
@@ -78,7 +84,7 @@ def googlenet_specs(num_classes: int, width: int,
         inception(384, 192, 384, 48, 128, 128),  # 5b
         {"type": "global_avg_pool"},
         {"type": "dropout", "rate": 0.4},
-        {"type": "fc", "k": num_classes},
+        {"type": "fc", "k": num_classes, "init": "zero"},
     ]
     return specs
 
