@@ -25,6 +25,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
@@ -369,11 +370,17 @@ def config4_spmdm():
         c = np.asarray(h.compute(s, b))
         xt.check(a.astype(np.float64) @ b.astype(np.float64), c, 1e-3)
         nnz = int(np.count_nonzero(a))
+        # bench the no-trans/no-beta kernels (r5 API: c + flags are
+        # explicit; a scalar placeholder c rides along unused)
+        z = jnp.zeros((), jnp.float32)
         if s.kind == "dense":
-            dt = device_bench(h._dense_fn, s.a, jnp.asarray(b), **_bench_kw())
+            dfn = partial(h._dense_fn, transb=False, transc=False,
+                          has_beta=False)
+            dt = device_bench(dfn, s.a, jnp.asarray(b), z, **_bench_kw())
         else:
-            fn = h._ell_compute_fn(int(s.values.shape[1]))
-            dt = device_bench(fn, s.values, s.cols, jnp.asarray(b),
+            fn = h._ell_compute_fn(int(s.values.shape[1]), False, False,
+                                   False)
+            dt = device_bench(fn, s.values, s.cols, jnp.asarray(b), z,
                               **_bench_kw())
         results.append({
             "density": dens, "m": m, "k": k, "n": n, "nnz": nnz,
@@ -398,10 +405,14 @@ def config4_spmdm():
     row = {"density": rpr / ke, "m": me, "k": ke, "n": n,
            "nnz": me * rpr, "chosen_kind": se.kind, "regime": "resident"}
     if se.kind == "ell":
-        fn = he._ell_compute_fn(int(se.values.shape[1]))
-        dte = device_bench(fn, se.values, se.cols, jnp.asarray(be),
+        z = jnp.zeros((), jnp.float32)
+        fn = he._ell_compute_fn(int(se.values.shape[1]), False, False,
+                                False)
+        dte = device_bench(fn, se.values, se.cols, jnp.asarray(be), z,
                            **_bench_kw())
-        dtd = device_bench(he._dense_fn, jnp.asarray(ae), jnp.asarray(be),
+        dfn = partial(he._dense_fn, transb=False, transc=False,
+                      has_beta=False)
+        dtd = device_bench(dfn, jnp.asarray(ae), jnp.asarray(be), z,
                            **_bench_kw())
         row.update({
             "gnnz_per_s": round(me * rpr * n / dte / 1e9, 2),
