@@ -880,6 +880,12 @@ def main():
         print(f"bench_all: {name} done in "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr,
               flush=True)
+        # incremental checkpoint: a killed/timed-out run (slow-tunnel
+        # sessions stretch 2-3x) still leaves the completed sections
+        out["partial"] = True
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+    del out["partial"]
     out["drift_vs_prev"] = drift_table(out)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
